@@ -1,0 +1,291 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Geom
+
+/** Catalyst expressions for the spatial slice. Hot predicates generate
+  * straight-line Java calling GeoRt statics (whole-stage-codegen friendly);
+  * cold constructors fall back to interpreted eval.
+  *
+  * These re-express the reference's geometry methods
+  * (`/root/reference/gdal/ogr/ogrgeometry.cpp`, `ogrcurvepolygon.cpp:680`,
+  * `ogrlinearring.cpp:575`) as Spark expressions over WKB BinaryType.
+  */
+object exprs {
+  // marker object to group the expression classes; see companion file gf.scala
+}
+
+/** st_contains(polyWkb, x, y) — ray-cast interior test. */
+case class StContainsPoint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(p: Any, x: Any, y: Any): Any =
+    GeoRt.containsPoint(p.asInstanceOf[Array[Byte]], x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, x, y) => s"graft.expr.GeoRt.containsPoint($p, $x, $y)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_contains_point"
+}
+
+/** st_intersects_point(geomWkb, x, y) — boundary-inclusive. */
+case class StIntersectsPoint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(p: Any, x: Any, y: Any): Any =
+    GeoRt.intersectsPoint(p.asInstanceOf[Array[Byte]], x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, x, y) => s"graft.expr.GeoRt.intersectsPoint($p, $x, $y)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_intersects_point"
+}
+
+case class StIntersects(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoRt.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.GeoRt.intersects($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_intersects"
+}
+
+case class StContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoRt.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.GeoRt.contains($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_contains"
+}
+
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoRt.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.GeoRt.distance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_distance"
+}
+
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GeoRt.point(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.expr.GeoRt.point($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_point"
+}
+
+case class StGeomFromText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    Geom.toWkb(Geom.fromWkt(s.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.GeoFn.geomFromText($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromtext"
+}
+
+case class StAsText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    UTF8String.fromString(Geom.toWkt(GeoRt.decode(b.asInstanceOf[Array[Byte]])))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.GeoFn.asText($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_astext"
+}
+
+abstract class UnaryGeomDouble(fn: String) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.GeoRt.$fn($b)")
+}
+
+case class StArea(child: Expression) extends UnaryGeomDouble("area") {
+  override protected def nullSafeEval(b: Any): Any = GeoRt.area(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_area"
+}
+
+case class StLength(child: Expression) extends UnaryGeomDouble("length") {
+  override protected def nullSafeEval(b: Any): Any = GeoRt.length(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_length"
+}
+
+case class StX(child: Expression) extends UnaryGeomDouble("x") {
+  override protected def nullSafeEval(b: Any): Any = GeoRt.x(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_x"
+}
+
+case class StY(child: Expression) extends UnaryGeomDouble("y") {
+  override protected def nullSafeEval(b: Any): Any = GeoRt.y(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_y"
+}
+
+case class StGeometryType(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    UTF8String.fromString(GeoRt.geometryType(b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.GeoFn.geometryType($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geometrytype"
+}
+
+/** st_envelope(wkb) -> struct<minx,miny,maxx,maxy> */
+case class StEnvelope(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override val dataType: DataType = StructType(Seq(
+    StructField("minx", DoubleType, nullable = false),
+    StructField("miny", DoubleType, nullable = false),
+    StructField("maxx", DoubleType, nullable = false),
+    StructField("maxy", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any = {
+    val e = GeoRt.decode(b.asInstanceOf[Array[Byte]]).envelope
+    InternalRow(e.minX, e.minY, e.maxX, e.maxY)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_envelope"
+}
+
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, s: Any, d: Any): Any =
+    GeoRt.transform(b.asInstanceOf[Array[Byte]], s.asInstanceOf[Int], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, s, d) => s"graft.expr.GeoRt.transform($b, $s, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_transform"
+}
+
+/** cell_of(lon, lat, res) — the H3/S2-style cell id (batched, codegen'd:
+  * the north rule's "H3/S2-encoded via a batched codegen'd expression").
+  */
+case class CellOf(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(lon: Any, lat: Any, res: Any): Any =
+    GeoRt.cellOf(lon.asInstanceOf[Double], lat.asInstanceOf[Double], res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, res) => s"graft.expr.GeoRt.cellOf($lon, $lat, $res)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "cell_of"
+}
+
+/** cells_covering(wkb, res) -> array<long>: polyfill for the polygon side
+  * of the cell-bucketed join.
+  */
+case class CellsCovering(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, r: Any): Any =
+    new GenericArrayData(GeoRt.cellsCovering(b.asInstanceOf[Array[Byte]], r.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cells_covering"
+}
+
+/** geo_extract(text) -> array<struct<lat,lon>> — deterministic coordinate
+  * mention parser (the offline analogue of the reference's geocoder,
+  * `gdal/ogr/ogr_geocoding.cpp:1379` OGRGeocode; no network, pure grammar).
+  * Never modifies its input (per-row invariant: `text` stays byte-identical).
+  *
+  * Grammar (case-sensitive, whitespace-tolerant between tokens):
+  *   1. "<lat>N|S <lon>E|W"      e.g. "48.8584N 2.2945E"
+  *   2. "lat=<f> lon=<f>"        e.g. "lat=-12.5 lon=130.85"
+  *   3. "geo:<lat>,<lon>"        e.g. "geo:37.786971,-122.399677"
+  */
+case class GeoExtract(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override val dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lat", DoubleType, nullable = false),
+    StructField("lon", DoubleType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any = {
+    val coords = GeoExtract.extract(s.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(coords.map { case (lat, lon) => InternalRow(lat, lon): Any })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "geo_extract"
+}
+
+object GeoExtract {
+  private val NUM = "[-+]?\\d{1,3}(?:\\.\\d+)?"
+  private val P1 = java.util.regex.Pattern.compile(s"($NUM)([NS])\\s+($NUM)([EW])")
+  private val P2 = java.util.regex.Pattern.compile(s"lat=($NUM)\\s+lon=($NUM)")
+  private val P3 = java.util.regex.Pattern.compile(s"geo:($NUM),($NUM)")
+
+  def extract(text: String): Array[(Double, Double)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Double, Double)](2)
+    val m1 = P1.matcher(text)
+    while (m1.find()) {
+      val lat = m1.group(1).toDouble * (if (m1.group(2) == "S") -1 else 1)
+      val lon = m1.group(3).toDouble * (if (m1.group(4) == "W") -1 else 1)
+      if (valid(lat, lon)) out += ((lat, lon))
+    }
+    val m2 = P2.matcher(text)
+    while (m2.find()) {
+      val lat = m2.group(1).toDouble; val lon = m2.group(2).toDouble
+      if (valid(lat, lon)) out += ((lat, lon))
+    }
+    val m3 = P3.matcher(text)
+    while (m3.find()) {
+      val lat = m3.group(1).toDouble; val lon = m3.group(2).toDouble
+      if (valid(lat, lon)) out += ((lat, lon))
+    }
+    out.toArray
+  }
+
+  @inline private def valid(lat: Double, lon: Double): Boolean =
+    lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180
+}
+
+/** String-typed helpers reachable from generated code (UTF8String in/out). */
+object GeoFn {
+  def geomFromText(s: UTF8String): Array[Byte] = Geom.toWkb(Geom.fromWkt(s.toString))
+  def asText(b: Array[Byte]): UTF8String = UTF8String.fromString(Geom.toWkt(GeoRt.decode(b)))
+  def geometryType(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoRt.geometryType(b))
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+import graft.expr._
+
+/** Column-API facade for the engine's functions (the public surface a user
+  * of the reference's OGR SQL dialect + geometry methods would reach for).
+  */
+object gf {
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftBridge.column(e)
+  private def x(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftBridge.expression(c)
+
+  // ---- geometry constructors / accessors ----
+  def st_point(px: Column, py: Column): Column = col(StPoint(x(px.cast("double")), x(py.cast("double"))))
+  def st_geomfromtext(wkt: Column): Column = col(StGeomFromText(x(wkt)))
+  def st_astext(g: Column): Column = col(StAsText(x(g)))
+  def st_x(g: Column): Column = col(StX(x(g)))
+  def st_y(g: Column): Column = col(StY(x(g)))
+  def st_geometrytype(g: Column): Column = col(StGeometryType(x(g)))
+  def st_envelope(g: Column): Column = col(StEnvelope(x(g)))
+
+  // ---- predicates ----
+  def st_contains_point(poly: Column, px: Column, py: Column): Column =
+    col(StContainsPoint(x(poly), x(px.cast("double")), x(py.cast("double"))))
+  def st_intersects_point(g: Column, px: Column, py: Column): Column =
+    col(StIntersectsPoint(x(g), x(px.cast("double")), x(py.cast("double"))))
+  def st_intersects(a: Column, b: Column): Column = col(StIntersects(x(a), x(b)))
+  def st_contains(a: Column, b: Column): Column = col(StContains(x(a), x(b)))
+  def st_within(a: Column, b: Column): Column = col(StContains(x(b), x(a)))
+
+  // ---- measures ----
+  def st_area(g: Column): Column = col(StArea(x(g)))
+  def st_length(g: Column): Column = col(StLength(x(g)))
+  def st_distance(a: Column, b: Column): Column = col(StDistance(x(a), x(b)))
+  def st_transform(g: Column, srcSrid: Int, dstSrid: Int): Column =
+    col(StTransform(x(g), x(lit(srcSrid)), x(lit(dstSrid))))
+
+  // ---- cell index ----
+  def cell_of(lon: Column, lat: Column, res: Int): Column =
+    col(CellOf(x(lon.cast("double")), x(lat.cast("double")), x(lit(res))))
+  def cells_covering(g: Column, res: Int): Column =
+    col(CellsCovering(x(g), x(lit(res))))
+
+  // ---- text→coords ----
+  def geo_extract(text: Column): Column = col(GeoExtract(x(text)))
+
+  // ---- OGR SQL dialect semantics helpers ----
+
+  /** OGR SUBSTR(s, start[, len]): 1-based, negative start counts from the
+    * end (`/root/reference/gdal/ogr/ogr_sql.dox:141-144`).
+    */
+  def ogr_substr(s: Column, start: Column, len: Option[Column]): Column = {
+    val begin = when(start < 0, greatest(length(s) + start + lit(1), lit(1))).otherwise(start)
+    len match {
+      case Some(l) => s.substr(begin, l)
+      case None => s.substr(begin, length(s))
+    }
+  }
+
+  /** OGR string equality is case-insensitive (`gdal/ogr/swq_op_general.cpp:572`
+    * uses stricmp for EQ); wrap both sides.
+    */
+  def ogr_str_eq(a: Column, b: Column): Column = lower(a) === lower(b)
+
+  /** hstore_get_value over "k=>v" pairs (`gdal/ogr/swq_op_general.cpp:107-216`). */
+  def hstore_get_value(h: Column, key: Column): Column =
+    element_at(str_to_map(h, lit(","), lit("=>")), key)
+
+  /** Register SQL names so spark.sql("st_contains(...)") works. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def r1(name: String, f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.createOrReplaceTempFunction(name, f, "internal")
+    r1("st_point", es => StPoint(es(0), es(1)))
+    r1("st_geomfromtext", es => StGeomFromText(es.head))
+    r1("st_astext", es => StAsText(es.head))
+    r1("st_x", es => StX(es.head))
+    r1("st_y", es => StY(es.head))
+    r1("st_geometrytype", es => StGeometryType(es.head))
+    r1("st_envelope", es => StEnvelope(es.head))
+    r1("st_area", es => StArea(es.head))
+    r1("st_length", es => StLength(es.head))
+    r1("st_distance", es => StDistance(es(0), es(1)))
+    r1("st_intersects", es => StIntersects(es(0), es(1)))
+    r1("st_contains", es => StContains(es(0), es(1)))
+    r1("st_contains_point", es => StContainsPoint(es(0), es(1), es(2)))
+    r1("st_intersects_point", es => StIntersectsPoint(es(0), es(1), es(2)))
+    r1("st_transform", es => StTransform(es(0), es(1), es(2)))
+    r1("cell_of", es => CellOf(es(0), es(1), es(2)))
+    r1("cells_covering", es => CellsCovering(es(0), es(1)))
+    r1("geo_extract", es => GeoExtract(es.head))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.gf
+
+/** End-to-end smoke drive of the public surface (real SparkSession, real
+  * codegen): WKT -> WKB -> cell polyfill -> PIP join -> area/astext, plus
+  * the SQL-registered names. Run:
+  *   sbt -batch "runMain graft.tools.Smoke"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    gf.registerAll(spark)
+
+    // zones: two squares (one with a hole) built from WKT through the engine
+    val zones = Seq(
+      ("Z1", "POLYGON ((0 0,10 0,10 10,0 10,0 0))"),
+      ("Z2", "POLYGON ((20 20,40 20,40 40,20 40,20 20),(25 25,35 25,35 35,25 35,25 25))")
+    ).toDF("zone_id", "wkt")
+      .withColumn("geom", gf.st_geomfromtext($"wkt"))
+
+    // points with known membership
+    val pts = Seq(
+      ("in_z1", 5.0, 5.0), ("out", 15.0, 15.0),
+      ("in_z2_shell", 22.0, 22.0), ("in_z2_hole", 30.0, 30.0)
+    ).toDF("pid", "lon", "lat")
+
+    val joined = pts.crossJoin(zones)
+      .filter(gf.st_contains_point($"geom", $"lon", $"lat"))
+      .select($"pid", $"zone_id")
+    println("== PIP join (expect in_z1->Z1, in_z2_shell->Z2) ==")
+    joined.show()
+    val got = joined.as[(String, String)].collect().toSet
+    assert(got == Set(("in_z1", "Z1"), ("in_z2_shell", "Z2")), s"PIP join wrong: $got")
+
+    // measures + SQL surface
+    zones.createOrReplaceTempView("zones")
+    val m = spark.sql(
+      """select zone_id, st_area(geom) area, st_geometrytype(geom) gt,
+        |       st_astext(st_point(cast(1.5 as double), cast(2.5 as double))) pt
+        |from zones order by zone_id""".stripMargin)
+    println("== SQL measures ==")
+    m.show(truncate = false)
+    val rows = m.collect()
+    assert(rows(0).getDouble(1) == 100.0, "Z1 area")
+    assert(rows(1).getDouble(1) == 300.0, "Z2 area (hole subtracted)")
+    assert(rows(0).getString(3) == "POINT (1.5 2.5)", "st_point/st_astext")
+
+    // cell index through the Column API
+    val cells = pts.withColumn("cell", gf.cell_of($"lon", $"lat", 12))
+      .withColumn("res", expr("cast(cell / 4503599627370496 as long)")) // 2^52
+    assert(cells.filter($"res" === 12).count() == 4, "cell res packing")
+
+    // polyfill on the polygon side (the broadcast side of the real join)
+    val nz = zones.withColumn("cell", explode(gf.cells_covering($"geom", 8))).count()
+    assert(nz >= 2, "polyfill produced cells")
+
+    // geo_extract grammar
+    val ex = Seq("see 48.8584N 2.2945E and lat=-12.5 lon=130.85 or geo:37.786971,-122.399677")
+      .toDF("text")
+      .select(explode(gf.geo_extract($"text")).as("c"))
+      .select($"c.lat", $"c.lon")
+    println("== geo_extract ==")
+    ex.show(truncate = false)
+    assert(ex.count() == 3, "geo_extract finds 3 mentions")
+
+    // show a physical plan to confirm codegen participation
+    println("== plan (PIP filter should sit inside WholeStageCodegen) ==")
+    pts.crossJoin(zones).filter(gf.st_contains_point($"geom", $"lon", $"lat")).explain("formatted")
+
+    println("SMOKE OK")
+    spark.stop()
+  }
+}
