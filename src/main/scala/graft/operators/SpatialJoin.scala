@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.gf
+
+/** Cell-bucketed spatial join: the distributed replacement for the
+  * reference's nested-loop layer algebra
+  * (`/root/reference/gdal/ogr/ogrsf_frmts/generic/ogrlayer.cpp:2034`
+  * Intersection and friends: per-A-feature `SetSpatialFilter` on B, then
+  * exact GEOS test) and its staged filter evaluation
+  * (`ogrlayer.cpp:1347-1454`: envelope reject → exact test).
+  *
+  * Plan shape (Spark-first):
+  *   polys  → explode(cells_covering(geom, res))   // polyfill, broadcast side
+  *   points → cell_of(lon, lat, res)               // one cell per point
+  *   equi-join on cell → exact ray-cast PIP post-filter (codegen'd)
+  *
+  * Properties that make this scale:
+  *  - a point has exactly ONE cell and a polygon covers each cell at most
+  *    once → the join never duplicates a (point, polygon) pair, so no
+  *    dedup shuffle is needed;
+  *  - the polygon side after polyfill is small per cell → Spark broadcasts
+  *    it (BroadcastHashJoin; no shuffle of the page table at all);
+  *  - with a huge polygon side, the same plan degrades to a shuffled hash
+  *    join on `cell`, where AQE skew-join splitting plus optional explicit
+  *    salting (`salted`) handles dense cells;
+  *  - the exact PIP runs as a whole-stage-codegen expression over packed
+  *    ring arrays decoded once per broadcast value (GeoRt slot cache =
+  *    the reference's prepared-geometry reuse, `ogrlayer.cpp:1296`).
+  */
+object SpatialJoin {
+
+  /** points ⋈ polys on st_contains(poly, point).
+    *
+    * @param points any DataFrame with numeric lon/lat columns
+    * @param lon,lat point coordinate columns
+    * @param polys DataFrame with a WKB geometry column
+    * @param geom the WKB column of `polys`
+    * @param res cell resolution (higher = tighter polyfill, more cells)
+    * @param broadcastPolys force-broadcast the exploded polygon side
+    */
+  def pointInPolygon(points: DataFrame, lon: Column, lat: Column,
+                     polys: DataFrame, geom: Column, res: Int,
+                     broadcastPolys: Boolean = true): DataFrame = {
+    val polyCells0 = polys.withColumn("__cell", explode(gf.cells_covering(geom, res)))
+    val polyCells = if (broadcastPolys) broadcast(polyCells0) else polyCells0
+    val pts = points.withColumn("__pcell", gf.cell_of(lon, lat, res))
+    pts.join(polyCells, pts("__pcell") === polyCells("__cell"))
+      .filter(gf.st_contains_point(geom, lon, lat))
+      .drop("__cell", "__pcell")
+  }
+
+  /** Boundary-inclusive variant (st_intersects semantics,
+    * `gdal/ogr/ogrcurvepolygon.cpp:705-716`).
+    */
+  def pointIntersectsPolygon(points: DataFrame, lon: Column, lat: Column,
+                             polys: DataFrame, geom: Column, res: Int,
+                             broadcastPolys: Boolean = true): DataFrame = {
+    val polyCells0 = polys.withColumn("__cell", explode(gf.cells_covering(geom, res)))
+    val polyCells = if (broadcastPolys) broadcast(polyCells0) else polyCells0
+    val pts = points.withColumn("__pcell", gf.cell_of(lon, lat, res))
+    pts.join(polyCells, pts("__pcell") === polyCells("__cell"))
+      .filter(gf.st_intersects_point(geom, lon, lat))
+      .drop("__cell", "__pcell")
+  }
+
+  /** Salted shuffled variant for a large polygon side with dense cells
+    * (SURVEY.md §4 #18): points pick a deterministic salt from their
+    * coordinates; each (poly, cell) pair is replicated `nSalt` times. Use
+    * when neither side broadcasts and one cell dominates.
+    */
+  def pointInPolygonSalted(points: DataFrame, lon: Column, lat: Column,
+                           polys: DataFrame, geom: Column, res: Int,
+                           nSalt: Int): DataFrame = {
+    val polyCells = polys
+      .withColumn("__cell", explode(gf.cells_covering(geom, res)))
+      .withColumn("__salt", explode(lit((0 until nSalt).toArray)))
+    val pts = points
+      .withColumn("__pcell", gf.cell_of(lon, lat, res))
+      .withColumn("__psalt", pmod(hash(lon, lat), lit(nSalt)))
+    pts.join(polyCells,
+        pts("__pcell") === polyCells("__cell") && pts("__psalt") === polyCells("__salt"))
+      .filter(gf.st_contains_point(geom, lon, lat))
+      .drop("__cell", "__pcell", "__salt", "__psalt")
+  }
+}
