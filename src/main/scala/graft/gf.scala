@@ -48,6 +48,16 @@ object gf {
   // ---- text→coords ----
   def geo_extract(text: Column): Column = col(GeoExtract(x(text)))
 
+  // ---- text analysis / dedup primitives ----
+  def minhash_sig(text: Column, shingle: Int, numHashes: Int): Column =
+    col(MinHashSig(x(text), x(lit(shingle)), x(lit(numHashes))))
+  def simhash64(text: Column): Column = col(SimHash64(x(text)))
+  def doc_fingerprint(text: Column): Column = col(DocFingerprint(x(text)))
+  def lang_id(text: Column): Column = col(LangId(x(text)))
+  def ngram_jaccard(a: Column, b: Column, n: Int): Column =
+    col(NgramJaccard(x(a), x(b), x(lit(n))))
+  def hamming64(a: Column, b: Column): Column = col(Hamming64(x(a), x(b)))
+
   // ---- OGR SQL dialect semantics helpers ----
 
   /** OGR SUBSTR(s, start[, len]): 1-based, negative start counts from the
@@ -93,5 +103,11 @@ object gf {
     r1("cell_of", es => CellOf(es(0), es(1), es(2)))
     r1("cells_covering", es => CellsCovering(es(0), es(1)))
     r1("geo_extract", es => GeoExtract(es.head))
+    r1("minhash_sig", es => MinHashSig(es(0), es(1), es(2)))
+    r1("simhash64", es => SimHash64(es.head))
+    r1("doc_fingerprint", es => DocFingerprint(es.head))
+    r1("lang_id", es => LangId(es.head))
+    r1("ngram_jaccard", es => NgramJaccard(es(0), es(1), es(2)))
+    r1("hamming64", es => Hamming64(es(0), es(1)))
   }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - [[cosineTopK]] is the exact brute-force baseline: queries broadcast,
+  *   dot products computed with built-in higher-order functions
+  *   (zip_with + aggregate — stays inside codegen), global top-k per query
+  *   via window. One scan of the corpus, no shuffle of the corpus side.
+  * - [[lshTopK]] is the scale path: deterministic random-hyperplane
+  *   signatures bucket the corpus; each query probes its own bucket (and
+  *   multi-probe neighbors at hamming distance 1), computing exact cosine
+  *   only within probed buckets. Recall is tunable via `bits`/multiprobe.
+  */
+object Ann {
+
+  private def l2(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2(a) * l2(b))
+
+  /** Exact top-k by cosine for each query vector.
+    *
+    * @param corpus DataFrame with (id, vec: array<float>)
+    * @param queries DataFrame with (qid, qvec: array<float>) — small side
+    */
+  def cosineTopK(corpus: DataFrame, id: Column, vec: Column,
+                 queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+    val q = broadcast(queries.select(qid.cast("long").as("qid"), qvec.as("__qv")))
+    corpus.select(id.cast("long").as("id"), vec.as("__v"))
+      .crossJoin(q)
+      .withColumn("cosine", cosine(col("__v"), col("__qv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id"), col("cosine"))
+  }
+
+  /** Deterministic hyperplane signature: bit b = sign(dot(v, plane_b)),
+    * planes derived from splitmix64(seed, b, dim-index) mapped to ±1
+    * components (sign-random projections — cheap and model-free).
+    */
+  def hyperplaneSig(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
+    // plane component for (bit b, index i): ±1 from a hash — computed via
+    // a literal matrix baked into the plan (deterministic, no RNG at run time)
+    val planes: Array[Array[Double]] = Array.tabulate(bits, dim) { (b, i) =>
+      val h = graft.sources.Pages.mix(seed ^ (b.toLong << 32) ^ i.toLong)
+      if ((h & 1L) == 0L) 1.0 else -1.0
+    }
+    val sigBits = (0 until bits).map { b =>
+      val plane = array(planes(b).map(lit): _*)
+      val d = aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
+        lit(0.0d), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    sigBits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k with hamming-1 multiprobe. */
+  def lshTopK(corpus: DataFrame, id: Column, vec: Column,
+              queries: DataFrame, qid: Column, qvec: Column,
+              k: Int, dim: Int, bits: Int = 12, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(id.cast("long").as("id"), vec.as("__v"))
+      .withColumn("__bucket", hyperplaneSig(col("__v"), dim, bits, seed))
+    val probes = (0 to bits).map { i =>
+      if (i == 0) lit(0L) else lit(1L << (i - 1))
+    }
+    val q = broadcast(
+      queries.select(qid.cast("long").as("qid"), qvec.as("__qv"))
+        .withColumn("__qsig", hyperplaneSig(col("__qv"), dim, bits, seed))
+        .withColumn("__flip", explode(array(probes: _*)))
+        .withColumn("__qbucket", expr("__qsig ^ __flip"))
+        .drop("__qsig", "__flip"))
+    c.join(q, col("__bucket") === col("__qbucket"))
+      .withColumn("cosine", cosine(col("__v"), col("__qv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("id"), col("cosine"))
+  }
+}

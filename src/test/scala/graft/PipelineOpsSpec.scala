@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.expr.TextRt
+
+/** Training-data pipeline operators: dedup, similarity, text analysis,
+  * multimodal plumbing.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs away fast"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog and walks away fast"), // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules"),
+    (4L, "der schnelle braune fuchs springt und die hunde sind nicht da mit den"),
+    (5L, "")
+  ).toDF("id", "text")
+
+  test("exact dedup keeps one row per identical text") {
+    val out = Dedup.exact(docs, $"text", $"id").select($"id").as[Long].collect().sorted
+    assert(out === Array(0L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact pair") {
+    val pairs = Dedup.minhashPairs(docs, $"id", $"text",
+      numHashes = 64, bands = 16, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs finds exact dup at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, $"id", $"text", maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(exact.exists(_._3 == 0))
+  }
+
+  test("ngram jaccard verification scores near-dups high") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val verified = Dedup.verifyJaccard(pairs, docs, $"id", $"text", n = 3, threshold = 0.0)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(verified((0L, 1L)) === 1.0)
+    assert(verified((0L, 2L)) > 0.5 && verified((0L, 2L)) < 1.0)
+    assert(verified((0L, 3L)) === 0.0)
+  }
+
+  test("text ops: token count, punct ratio, stopword ratio, quality") {
+    val r = docs.select($"id",
+        TextOps.tokenCount($"text").as("tc"),
+        TextOps.punctRatio($"text").as("pr"),
+        TextOps.stopwordRatio($"text").as("sr"),
+        TextOps.qualityScore($"text").as("q"))
+      .as[(Long, Int, Double, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(0L)._2 === 13)
+    assert(r(5L)._2 === 0)
+    assert(r(0L)._3 === 0.0)
+    assert(r(0L)._4 > 0.2) // "the", "and" present twice/once in 13 tokens
+    assert(r(5L)._5 === 0.0)
+  }
+
+  test("lang id picks en/de and und for empty") {
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(TextRt.langId(UTF8String.fromString(
+      "the cat and the dog are in the house")).toString === "en")
+    assert(TextRt.langId(UTF8String.fromString(
+      "der hund und die katze sind nicht im haus")).toString === "de")
+    assert(TextRt.langId(UTF8String.fromString("")).toString === "und")
+    assert(TextRt.langId(UTF8String.fromString("zzz qqq www")).toString === "und")
+  }
+
+  test("fingerprint is deterministic and distinct across texts") {
+    val fps = docs.select(TextOps.fingerprint($"text")).as[Long].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(3))
+  }
+
+  test("ANN: brute-force cosine top-k is exact; LSH recall is reasonable") {
+    val dim = 16
+    // clustered embeddings (the realistic regime for LSH): 10 centers,
+    // corpus points = center + small noise, queries = centers
+    def center(c: Int) = Array.tabulate(dim)(d =>
+      (graft.sources.Pages.mix(c * 131 + d).toInt % 1000).toFloat / 500f)
+    val corpus = (0 until 500).map { i =>
+      val c = center(i % 10)
+      val v = Array.tabulate(dim)(d =>
+        c(d) + (graft.sources.Pages.mix(i * 31 + d).toInt % 100).toFloat / 2000f)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val queries = (0 until 3).map(q => (q.toLong, center(q))).toDF("qid", "qvec")
+
+    val exact = Ann.cosineTopK(corpus, $"id", $"vec", queries, $"qid", $"qvec", 10)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    assert(exact.size === 30)
+
+    // exactness cross-check against a scala-side computation for qid 0
+    val q0 = queries.as[(Long, Array[Float])].collect().find(_._1 == 0L).get._2
+    val cs = corpus.as[(Long, Array[Float])].collect().map { case (id, v) =>
+      val dot = v.zip(q0).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val na = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(q0.map(x => x.toDouble * x.toDouble).sum)
+      (id, dot / (na * nb))
+    }.sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    assert(exact.filter(_._1 == 0L).map(_._2) === cs)
+
+    val lsh = Ann.lshTopK(corpus, $"id", $"vec", queries, $"qid", $"qvec",
+      10, dim = dim, bits = 8)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall too low on clustered data: $recall")
+  }
+
+  test("multimodal: stub decode plumbing with corrupt-row isolation") {
+    val media = Multimodal.synthMedia(spark, 50)
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length === 50)
+    assert(feats.forall(_.ok))
+    assert(feats.forall(_.feature.length === 8))
+    // corrupt payload → ok=false, no task failure
+    import spark.implicits._
+    val corrupt = media.map(m => m.copy(bytes = Array[Byte](1, 2, 3)))
+    val bad = Multimodal.extractFeatures(corrupt, dim = 8).collect()
+    assert(bad.forall(f => !f.ok))
+    // resize + frame-sample plans
+    val rs = Multimodal.planResize(media.toDF(), 32).select(max($"target_width")).as[Int].head()
+    assert(rs <= 32)
+    val fs = Multimodal.planFrameSample(media.toDF(), everyN = 5, maxFrames = 4)
+    assert(fs.groupBy($"media_id").count().select(max($"count")).as[Long].head() === 4L)
+  }
+
+  test("OGR first-match left join: one row per primary, first secondary") {
+    val prim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "pval")
+    val sec = Seq((1L, 10L, "x"), (1L, 5L, "y"), (2L, 1L, "z")).toDF("fk", "fid", "sval")
+    val out = OgrSql.firstMatchLeftJoin(prim, sec, $"pk" === $"fk", $"pk", $"fid")
+      .select($"pk", $"sval").as[(Long, String)].collect().sortBy(_._1)
+    assert(out === Array((1L, "y"), (2L, "z"), (3L, null)))
+  }
+}
