@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark whole-stage codegen churns the JIT code cache; the default 240m
+  // fills up in long benchmark JVMs and silently disables compilation.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -239,15 +239,16 @@ case class CellsCovering(left: Expression, right: Expression)
   *   3. "geo:<lat>,<lon>"        e.g. "geo:37.786971,-122.399677"
   */
 case class GeoExtract(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override val dataType: DataType = ArrayType(StructType(Seq(
     StructField("lat", DoubleType, nullable = false),
     StructField("lon", DoubleType, nullable = false))), containsNull = false)
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(s: Any): Any = {
-    val coords = GeoExtract.extract(s.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(coords.map { case (lat, lon) => InternalRow(lat, lon): Any })
-  }
+  override protected def nullSafeEval(s: Any): Any =
+    GeoExtract.extractArrayData(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.expr.GeoExtract.extractArrayData($s)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "geo_extract"
 }
@@ -258,25 +259,50 @@ object GeoExtract {
   private val P2 = java.util.regex.Pattern.compile(s"lat=($NUM)\\s+lon=($NUM)")
   private val P3 = java.util.regex.Pattern.compile(s"geo:($NUM),($NUM)")
 
-  def extract(text: String): Array[(Double, Double)] = {
-    val out = new scala.collection.mutable.ArrayBuffer[(Double, Double)](2)
-    val m1 = P1.matcher(text)
+  /** Reused per-thread matchers: this expression runs once per page in the
+    * flagship pipeline; matcher reuse keeps the 32-thread allocation rate
+    * off the GC (the reference's prepared-filter reuse idea,
+    * `gdal/ogr/ogrsf_frmts/generic/ogrlayer.cpp:1296`, applied to text).
+    */
+  private val tls = new ThreadLocal[(java.util.regex.Matcher, java.util.regex.Matcher,
+      java.util.regex.Matcher, scala.collection.mutable.ArrayBuffer[Any])] {
+    override def initialValue() = (P1.matcher(""), P2.matcher(""), P3.matcher(""),
+      new scala.collection.mutable.ArrayBuffer[Any](4))
+  }
+
+  /** Codegen entry: UTF8String in, Catalyst ArrayData of (lat,lon) out. */
+  def extractArrayData(text: UTF8String): GenericArrayData = {
+    val (m1, m2, m3, buf) = tls.get()
+    buf.clear()
+    val s = text.toString
+    m1.reset(s)
     while (m1.find()) {
-      val lat = m1.group(1).toDouble * (if (m1.group(2) == "S") -1 else 1)
-      val lon = m1.group(3).toDouble * (if (m1.group(4) == "W") -1 else 1)
-      if (valid(lat, lon)) out += ((lat, lon))
+      val lat = java.lang.Double.parseDouble(m1.group(1)) * (if (m1.group(2) == "S") -1 else 1)
+      val lon = java.lang.Double.parseDouble(m1.group(3)) * (if (m1.group(4) == "W") -1 else 1)
+      if (valid(lat, lon)) buf += InternalRow(lat, lon)
     }
-    val m2 = P2.matcher(text)
+    m2.reset(s)
     while (m2.find()) {
-      val lat = m2.group(1).toDouble; val lon = m2.group(2).toDouble
-      if (valid(lat, lon)) out += ((lat, lon))
+      val lat = java.lang.Double.parseDouble(m2.group(1))
+      val lon = java.lang.Double.parseDouble(m2.group(2))
+      if (valid(lat, lon)) buf += InternalRow(lat, lon)
     }
-    val m3 = P3.matcher(text)
+    m3.reset(s)
     while (m3.find()) {
-      val lat = m3.group(1).toDouble; val lon = m3.group(2).toDouble
-      if (valid(lat, lon)) out += ((lat, lon))
+      val lat = java.lang.Double.parseDouble(m3.group(1))
+      val lon = java.lang.Double.parseDouble(m3.group(2))
+      if (valid(lat, lon)) buf += InternalRow(lat, lon)
     }
-    out.toArray
+    new GenericArrayData(buf.toArray)
+  }
+
+  /** Scala-side variant used by tests. */
+  def extract(text: String): Array[(Double, Double)] = {
+    val ad = extractArrayData(UTF8String.fromString(text))
+    (0 until ad.numElements()).map { i =>
+      val r = ad.getStruct(i, 2)
+      (r.getDouble(0), r.getDouble(1))
+    }.toArray
   }
 
   @inline private def valid(lat: Double, lon: Double): Boolean =

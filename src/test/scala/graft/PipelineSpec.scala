@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.jobs.Pipeline
+import graft.sources.Pages
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def zones = Pages.zones(12).toDF("zone_id", "wkt")
+    .withColumn("geom", gf.st_geomfromtext($"wkt")).select($"zone_id", $"geom")
+
+  test("pipeline resumes from lineage after injected failure; output identical") {
+    val pages = Pages.synth(spark, 4000L).cache()
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pipe-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-pipe-b").toString
+
+    // reference run: straight through
+    val cfgA = Pipeline.Config(outDir = dirA, nBatches = 4)
+    val resA = Pipeline.run(spark, pages, zones, cfgA)
+    assert(resA.size === 4)
+
+    // failing run: dies after 2 committed batches, then resumes
+    val cfgB = Pipeline.Config(outDir = dirB, nBatches = 4, failAfterBatch = 1)
+    intercept[RuntimeException] { Pipeline.run(spark, pages, zones, cfgB) }
+    val done = Pipeline.committedBatches(spark, cfgB)
+    assert(done.size === 2, s"expected 2 committed batches, got $done")
+    val resB = Pipeline.run(spark, pages, zones, cfgB.copy(failAfterBatch = -1))
+    assert(resB.size === 2) // only the remaining batches ran
+    assert(Pipeline.committedBatches(spark, cfgB).size === 4)
+
+    // identical results either way
+    def canon(dir: String) =
+      Pipeline.output(spark, Pipeline.Config(outDir = dir, nBatches = 4))
+        .select($"url", $"mention_idx", $"zone_id", $"cell", $"tile_x", $"tile_y")
+        .as[(String, Int, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(canon(dirB) === canon(dirA))
+    assert(canon(dirA).nonEmpty)
+
+    // per-row invariant: byte-identical text per url vs the input
+    val out = Pipeline.output(spark, cfgA)
+    val bad = out.select($"url", $"text").distinct()
+      .join(pages.select($"url", $"text".as("orig")), "url")
+      .filter($"text" =!= $"orig")
+    assert(bad.count() === 0, "text column was rewritten somewhere")
+    pages.unpersist()
+  }
+}
