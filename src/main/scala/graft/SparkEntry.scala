@@ -330,6 +330,74 @@ object SparkEntry {
         gf.doc_fingerprint(col("text")).as("fp"),
         gf.simhash64(col("text")).as("sim"))),
 
+    // ---------------- grid / interpolation aggregates ----------------
+    "q_grid_metrics" -> ((s, d) => {
+      val pts = docPoints(t(s, d, "documents"))
+        .withColumn("v", (col("pid") % 100).cast("double"))
+      GridInterp.cellMetrics(pts, col("lon"), col("lat"), col("v"), res = 5)
+    }),
+    "q_idw" -> ((s, d) => {
+      import s.implicits._
+      val pts = docPoints(t(s, d, "documents"))
+        .withColumn("v", (col("pid") % 100).cast("double"))
+      val qs = Seq((0L, 2.35, 48.85), (1L, -122.4, 37.78), (2L, 151.2, -33.86),
+        (3L, 0.01, 0.01), (4L, 139.69, 35.68)).toDF("qid", "qlon", "qlat")
+      GridInterp.idwNearestNeighbor(pts, col("lon"), col("lat"), col("v"),
+          qs, col("qid"), col("qlon"), col("qlat"), k = 8, res = 7)
+        .select(col("qid"), round(col("idw"), 6).as("idw_r"))
+    }),
+
+    // ---------------- overview pyramid / DEM derivatives ----------------
+    "q_overview" -> ((s, d) => {
+      import s.implicits._
+      val strips = (0 until 7 by 2).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(2, 7 - y0)
+        graft.raster.Overview.IStrip(idx, y0, hh, 5,
+          java.util.Arrays.copyOfRange(polyGrid, y0 * 5, (y0 + hh) * 5))
+      }.toDS()
+      graft.raster.Overview.level(strips, graft.raster.Overview.Average)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until st.width)
+            yield (x, st.yOff + y, st.vals(y * st.width + x))
+        }.toDF("x", "y", "v")
+    }),
+    "q_hillshade" -> ((s, d) => {
+      import s.implicits._
+      val w = 40; val h = 30
+      val gt = graft.core.GeoTransform.northUp(0, h, 1, 1)
+      val vals = Array.tabulate(w * h)(i => ((i % w) * 31 + (i / w) * 17) % 23 * 1.0)
+      val strips = (0 until h by 7).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(7, h - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * w, (y0 + hh) * w))
+      }.toDS()
+      graft.raster.Dem.hillshade(s, strips, w, h, gt)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 1 until w - 1
+               if st.yOff + y >= 1 && st.yOff + y <= h - 2)
+            yield (x, st.yOff + y, st.vals(y * w + x))
+        }.toDF("x", "y", "hs")
+        .select(col("x"), col("y"), round(col("hs"), 6).as("hs_r"))
+    }),
+    "q_slope" -> ((s, d) => {
+      import s.implicits._
+      val w = 40; val h = 30
+      val gt = graft.core.GeoTransform.northUp(0, h, 1, 1)
+      val vals = Array.tabulate(w * h)(i => ((i % w) * 31 + (i / w) * 17) % 23 * 1.0)
+      val strips = (0 until h by 11).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(11, h - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * w, (y0 + hh) * w))
+      }.toDS()
+      graft.raster.Dem.slope(s, strips, w, h, gt)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 1 until w - 1
+               if st.yOff + y >= 1 && st.yOff + y <= h - 2)
+            yield (x, st.yOff + y, st.vals(y * w + x))
+        }.toDF("x", "y", "sl")
+        .select(col("x"), col("y"), round(col("sl"), 6).as("sl_r"))
+    }),
+
     // ---------------- streaming-ish incremental (events) ----------------
     "q_sessionize" -> ((s, d) => {
       // gap-based sessionization (30 min) via window functions — the batch
@@ -347,6 +415,31 @@ object SparkEntry {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"))
     })
   )
+
+  /** Shared CTE for the DEM oracles: the synthetic grid + Horn gradients. */
+  private val demOracleCte: String =
+    """WITH g AS (
+      |  SELECT (i % 40) AS x, (i // 40) AS y,
+      |         CAST(((i % 40) * 31 + (i // 40) * 17) % 23 AS DOUBLE) AS z
+      |  FROM (SELECT unnest(generate_series(0, 1199)) AS i)),
+      |w AS (
+      |  SELECT c.x, c.y,
+      |    max(CASE WHEN n.x = c.x-1 AND n.y = c.y-1 THEN n.z END) AS w0,
+      |    max(CASE WHEN n.x = c.x   AND n.y = c.y-1 THEN n.z END) AS w1,
+      |    max(CASE WHEN n.x = c.x+1 AND n.y = c.y-1 THEN n.z END) AS w2,
+      |    max(CASE WHEN n.x = c.x-1 AND n.y = c.y   THEN n.z END) AS w3,
+      |    max(CASE WHEN n.x = c.x+1 AND n.y = c.y   THEN n.z END) AS w5,
+      |    max(CASE WHEN n.x = c.x-1 AND n.y = c.y+1 THEN n.z END) AS w6,
+      |    max(CASE WHEN n.x = c.x   AND n.y = c.y+1 THEN n.z END) AS w7,
+      |    max(CASE WHEN n.x = c.x+1 AND n.y = c.y+1 THEN n.z END) AS w8
+      |  FROM g c JOIN g n ON abs(n.x - c.x) <= 1 AND abs(n.y - c.y) <= 1
+      |  WHERE c.x BETWEEN 1 AND 38 AND c.y BETWEEN 1 AND 28
+      |  GROUP BY c.x, c.y),
+      |calc AS (
+      |  SELECT x, y,
+      |    ((w0 + w3 + w3 + w6) - (w2 + w5 + w5 + w8)) / 1.0 AS gx,
+      |    ((w6 + w7 + w7 + w8) - (w0 + w1 + w1 + w2)) / (-1.0) AS gy
+      |  FROM w)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -497,6 +590,48 @@ object SparkEntry {
         |  SELECT ia, ib, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
         |  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
         |SELECT ia AS id_a, ib AS id_b FROM j WHERE jac >= 0.7""".stripMargin,
+    "q_grid_metrics" ->
+      s"""WITH $docPointsSql
+        |SELECT CAST(5 AS BIGINT) * 4503599627370496 +
+        |  CAST(least(greatest(floor(((lon + 180.0) / 360.0) * 32.0), 0), 31) AS BIGINT) * 67108864 +
+        |  CAST(least(greatest(floor(((lat + 90.0) / 180.0) * 32.0), 0), 31) AS BIGINT) AS cell,
+        |  count(*) AS n,
+        |  min(CAST(pid % 100 AS DOUBLE)) AS min_v,
+        |  max(CAST(pid % 100 AS DOUBLE)) AS max_v,
+        |  max(CAST(pid % 100 AS DOUBLE)) - min(CAST(pid % 100 AS DOUBLE)) AS range_v,
+        |  avg(CAST(pid % 100 AS DOUBLE)) AS avg_v
+        |FROM pts GROUP BY 1""".stripMargin,
+    "q_idw" ->
+      s"""WITH $docPointsSql,
+        |q(qid, qlon, qlat) AS (VALUES
+        |  (0, 2.35, 48.85), (1, -122.4, 37.78), (2, 151.2, -33.86),
+        |  (3, 0.01, 0.01), (4, 139.69, 35.68)),
+        |d AS (
+        |  SELECT q.qid, p.pid, p.lon, p.lat, CAST(p.pid % 100 AS DOUBLE) AS v,
+        |    sqrt((p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat)) AS dist
+        |  FROM pts p, q),
+        |r AS (
+        |  SELECT *, dist * dist AS r2,
+        |         row_number() OVER (PARTITION BY qid ORDER BY dist, lon, lat) AS rn
+        |  FROM d)
+        |SELECT qid, round(sum((1.0 / r2) * v) / sum(1.0 / r2), 6) AS idw_r
+        |FROM r WHERE rn <= 8 GROUP BY qid""".stripMargin,
+    "q_overview" ->
+      """SELECT * FROM (VALUES
+        |  (0,0,119), (1,0,126), (2,0,127), (0,1,132), (1,1,130), (2,1,123),
+        |  (0,2,142), (1,2,138), (2,2,117), (0,3,156), (1,3,129), (2,3,103))
+        |AS t(x, y, v)""".stripMargin,
+    "q_hillshade" ->
+      s"""$demOracleCte
+        |SELECT x, y, round(CASE WHEN cang <= 0 THEN 1.0 ELSE 1.0 + 254.0 * cang END, 6) AS hs_r
+        |FROM (SELECT x, y,
+        |  (sin(radians(45.0)) - (cos(radians(45.0)) * 0.125) * sqrt(gx*gx + gy*gy) *
+        |   sin(atan2(gy, gx) - radians(315.0))) / sqrt(1 + 0.015625 * (gx*gx + gy*gy)) AS cang
+        |  FROM calc)""".stripMargin,
+    "q_slope" ->
+      s"""$demOracleCte
+        |SELECT x, y, round(atan(sqrt(gx*gx + gy*gy) / 8.0) * (180.0 / pi()), 6) AS sl_r
+        |FROM calc""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+'))

@@ -65,6 +65,27 @@ object SpatialJoin {
       .drop("__cell", "__pcell")
   }
 
+  /** Geometry-geometry join (the layer-algebra shape: per-pair exact
+    * Intersects after cell-bucket candidate generation). Both sides
+    * polyfill their cells; a pair can share several cells, so candidates
+    * dedup on the two key columns before the exact test — the reference's
+    * envelope-pretest + GEOS-test loop (`ogrlayer.cpp:2034` Intersection
+    * et al.) becomes: cell equi-join → dropDuplicates → codegen'd exact
+    * predicate.
+    */
+  def intersectsJoin(left: DataFrame, leftKey: Column, leftGeom: Column,
+                     right: DataFrame, rightKey: Column, rightGeom: Column,
+                     res: Int): DataFrame = {
+    val l = left.select(leftKey.as("__lk"), leftGeom.as("__lg"))
+      .withColumn("__lcell", explode(gf.cells_covering(col("__lg"), res)))
+    val r = right.select(rightKey.as("__rk"), rightGeom.as("__rg"))
+      .withColumn("__rcell", explode(gf.cells_covering(col("__rg"), res)))
+    l.join(r, col("__lcell") === col("__rcell"))
+      .dropDuplicates("__lk", "__rk")
+      .filter(gf.st_intersects(col("__lg"), col("__rg")))
+      .select(col("__lk").as("left_key"), col("__rk").as("right_key"))
+  }
+
   /** Salted shuffled variant for a large polygon side with dense cells
     * (SURVEY.md §4 #18): points pick a deterministic salt from their
     * coordinates; each (poly, cell) pair is replicated `nSalt` times. Use

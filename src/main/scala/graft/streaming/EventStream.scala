@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event stream shape
+  * `(event_id, ts, user_id, event_type, value)`.
+  *
+  * The reference has no streaming engine (SURVEY.md §1.3 — GDAL is a
+  * single-pass pull iterator); these operators are the Spark-native
+  * incremental expression of the batch semantics in
+  * `SparkEntry.q_events_hourly` / `q_sessionize`:
+  *  - [[hourlyCounts]]: watermarked tumbling-window aggregation
+  *  - [[sessionize]]: gap-based sessions via
+  *    `flatMapGroupsWithState` with event-time timeout — the stateful
+  *    per-key path the north rule's checkpointed-resume story builds on
+  *    (checkpointLocation gives exactly-once restart).
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              n_events: Long, duration_sec: Long)
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("event_type"), col("window.start").as("hour"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity closes a session).
+    * Emits a session row when the gap timeout fires.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
+              s.nEvents, (s.lastTs - s.sessionStart) / 1000))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                case Some(s) => // gap exceeded: close previous, open new
+                  out ::= SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
+                    s.nEvents, (s.lastTs - s.sessionStart) / 1000)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}
