@@ -398,6 +398,31 @@ object SparkEntry {
         .select(col("x"), col("y"), round(col("sl"), 6).as("sl_r"))
     }),
 
+    "q_translate" -> ((s, d) => {
+      import s.implicits._
+      val strips = (0 until 7 by 2).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(2, 7 - y0)
+        graft.raster.Overview.IStrip(idx, y0, hh, 5,
+          java.util.Arrays.copyOfRange(polyGrid, y0 * 5, (y0 + hh) * 5))
+      }.toDS()
+      val win = graft.raster.Translate.srcWin(strips, 1, 1, 3, 5)
+      val resized = graft.raster.Translate.resizeNearest(win, 3, 5, 6, 10, dstStripH = 4)
+      val scaled = graft.raster.Translate.scaleToByte(resized, 100, 156)
+      scaled.flatMap { st =>
+        for (y <- 0 until st.height; x <- 0 until st.width)
+          yield (x, st.yOff + y, st.vals(y * st.width + x))
+      }.toDF("x", "y", "v")
+    }),
+    "q_histogram" -> ((s, d) => {
+      // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
+      // equal-width buckets over [min, max]; here 8 buckets over lineitem
+      // quantity — bucket index floor((v - lo) / width) clamped.
+      t(s, d, "lineitem")
+        .select(least(floor((col("l_quantity") - 1.0) / 50.0 * 8.0), lit(7.0))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
     // ---------------- streaming-ish incremental (events) ----------------
     "q_sessionize" -> ((s, d) => {
       // gap-based sessionization (30 min) via window functions — the batch
@@ -632,6 +657,32 @@ object SparkEntry {
       s"""$demOracleCte
         |SELECT x, y, round(atan(sqrt(gx*gx + gy*gy) / 8.0) * (180.0 / pi()), 6) AS sl_r
         |FROM calc""".stripMargin,
+    "q_translate" -> {
+      val gridValues = polyGrid.zipWithIndex
+        .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+      s"""WITH grid(i, v) AS (VALUES $gridValues),
+        |g AS (SELECT i % 5 AS x, i // 5 AS y, v FROM grid),
+        |win AS (SELECT x - 1 AS x, y - 1 AS y, v FROM g
+        |        WHERE x BETWEEN 1 AND 3 AND y BETWEEN 1 AND 5),
+        |dst AS (SELECT dx.x, dy.y
+        |        FROM (SELECT unnest(generate_series(0, 5)) AS x) dx,
+        |             (SELECT unnest(generate_series(0, 9)) AS y) dy),
+        |sampled AS (
+        |  SELECT d.x, d.y, w.v
+        |  FROM dst d JOIN win w
+        |    ON w.x = least(CAST(floor((d.x + 0.5) * 3.0 / 6) AS INT), 2)
+        |   AND w.y = least(CAST(floor((d.y + 0.5) * 5.0 / 10) AS INT), 4))
+        |SELECT x, y,
+        |  CASE WHEN s < 0 THEN 0 WHEN s > 255 THEN 255
+        |       ELSE CAST(trunc(s) AS INT) END AS v
+        |FROM (SELECT x, y,
+        |        (v - 100.0) * ((255.0 - 0.0) / (156.0 - 100.0)) + 0.0 + 0.5 AS s
+        |      FROM sampled)""".stripMargin
+    },
+    "q_histogram" ->
+      """SELECT CAST(least(floor((l_quantity - 1.0) / 50.0 * 8.0), 7.0) AS BIGINT) AS bucket,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+'))

@@ -1,0 +1,133 @@
+package graft.raster
+
+import org.apache.spark.sql.Dataset
+import graft.raster.Overview.IStrip
+
+/** gdal_translate semantics over strip datasets
+  * (`/root/reference/gdal/apps/gdal_translate_lib.cpp:522-625`):
+  * `-srcwin` sub-window, `-outsize` nearest-neighbor decimation /
+  * replication (the default RasterIO path samples src pixel
+  * `floor((dst + 0.5) * srcSize / dstSize)`), `-scale` linear rescale, and
+  * `-ot` type conversion with GDALCopyWords rounding
+  * (`gdal/gcore/gdal_priv_templates.hpp:156-162`: clamp(v + 0.5) then
+  * truncate — the same rule the checksum float path uses).
+  */
+object Translate {
+
+  /** GDALCopyWords double→Byte: clamp(v+0.5, 0, 255), truncate. */
+  def toByte(v: Double): Int = {
+    val s = v + 0.5
+    if (s < 0) 0 else if (s > 255) 255 else s.toInt
+  }
+
+  def toInt16(v: Double): Int = {
+    val s = v + 0.5
+    if (s < -32768) -32768 else if (s > 32767) 32767 else s.toInt
+  }
+
+  def toUInt16(v: Double): Int = {
+    val s = v + 0.5
+    if (s < 0) 0 else if (s > 65535) 65535 else s.toInt
+  }
+
+  def toInt32(v: Double): Int = {
+    val s = v + 0.5
+    if (s < -2147483647.0) -2147483647 else if (s > 2147483647.0) 2147483647
+    else math.floor(s).toInt
+  }
+
+  /** `-scale src_min src_max dst_min dst_max` linear mapping. */
+  def scaleFn(srcMin: Double, srcMax: Double, dstMin: Double, dstMax: Double): Double => Double = {
+    val ratio = (dstMax - dstMin) / (srcMax - srcMin)
+    v => (v - srcMin) * ratio + dstMin
+  }
+
+  /** Nearest source index for `-outsize` resampling (RasterIO default). */
+  @inline def srcIndex(dst: Int, srcSize: Int, dstSize: Int): Int = {
+    val i = math.floor((dst + 0.5) * srcSize.toDouble / dstSize).toInt
+    if (i >= srcSize) srcSize - 1 else i
+  }
+
+  /** Sub-window extraction: keeps only pixels in
+    * [x0, x0+w) × [y0, y0+h), re-origined to (0,0). Strips not
+    * intersecting the window disappear; strip indices are re-derived from
+    * the new yOff so downstream ops see a dense strip set.
+    */
+  def srcWin(strips: Dataset[IStrip], x0: Int, y0: Int, w: Int, h: Int): Dataset[IStrip] = {
+    import strips.sparkSession.implicits._
+    strips.flatMap { s =>
+      val top = math.max(s.yOff, y0)
+      val bot = math.min(s.yOff + s.height, y0 + h)
+      if (bot <= top) Iterator.empty
+      else {
+        val rows = bot - top
+        val out = new Array[Int](rows * w)
+        var r = 0
+        while (r < rows) {
+          val srcRow = top - s.yOff + r
+          var c = 0
+          while (c < w) {
+            out(r * w + c) = s.vals(srcRow * s.width + x0 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Iterator.single(IStrip((top - y0), top - y0, rows, w, out))
+      }
+    }
+  }
+
+  /** `-outsize` nearest resize of the whole raster. Each DST strip gathers
+    * the SRC rows it samples via a row-range overlap join (flatMap of src
+    * rows to dst strips), so nothing is centralized.
+    */
+  def resizeNearest(strips: Dataset[IStrip], srcW: Int, srcH: Int,
+                    dstW: Int, dstH: Int, dstStripH: Int = 256): Dataset[IStrip] = {
+    import strips.sparkSession.implicits._
+    val nDst = (dstH + dstStripH - 1) / dstStripH
+    // src row -> list of dst rows sampling it (precomputed small map)
+    val dstRowForSrc: Array[Int] = Array.tabulate(dstH)(dy => srcIndex(dy, srcH, dstH))
+    // ship each needed src row to the dst strips that sample it
+    val rows = strips.flatMap { s =>
+      val out = Seq.newBuilder[(Int, Int, Array[Int])] // (dstStrip, srcRow, rowVals)
+      val emitted = scala.collection.mutable.HashSet[(Int, Int)]()
+      for (dy <- 0 until dstH) {
+        val sy = dstRowForSrc(dy)
+        if (sy >= s.yOff && sy < s.yOff + s.height) {
+          val st = dy / dstStripH
+          if (emitted.add((st, sy))) {
+            val row = java.util.Arrays.copyOfRange(s.vals,
+              (sy - s.yOff) * s.width, (sy - s.yOff + 1) * s.width)
+            out += ((st, sy, row))
+          }
+        }
+      }
+      out.result().iterator
+    }
+    rows.groupByKey(_._1).mapGroups { (st, it) =>
+      val srcRows: Map[Int, Array[Int]] = it.map(t => t._2 -> t._3).toMap
+      val y0 = st * dstStripH
+      val hh = math.min(dstStripH, dstH - y0)
+      val out = new Array[Int](hh * dstW)
+      var r = 0
+      while (r < hh) {
+        val srcRow = srcRows(dstRowForSrc(y0 + r))
+        var c = 0
+        while (c < dstW) {
+          out(r * dstW + c) = srcRow(srcIndex(c, srcW, dstW))
+          c += 1
+        }
+        r += 1
+      }
+      IStrip(st, y0, hh, dstW, out)
+    }
+  }
+
+  /** Map every pixel through a scale function + CopyWords byte rounding. */
+  def scaleToByte(strips: Dataset[IStrip], srcMin: Double, srcMax: Double,
+                  dstMin: Double = 0, dstMax: Double = 255): Dataset[IStrip] = {
+    import strips.sparkSession.implicits._
+    val f = scaleFn(srcMin, srcMax, dstMin, dstMax)
+    strips.map(s => s.copy(vals = s.vals.map(v => toByte(f(v)))))
+  }
+}
