@@ -413,6 +413,23 @@ object SparkEntry {
           yield (x, st.yOff + y, st.vals(y * st.width + x))
       }.toDF("x", "y", "v")
     }),
+    "q_warp" -> ((s, d) => {
+      import s.implicits._
+      val srcGt = graft.core.GeoTransform.northUp(0, 7, 1, 1)
+      val dstGt = graft.core.GeoTransform.northUp(-0.5, 7.5, 0.7, 0.7)
+      val strips = (0 until 7 by 3).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(3, 7 - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(polyGrid.map(_.toDouble), y0 * 5, (y0 + hh) * 5))
+      }.toDS()
+      graft.raster.Warp.warp(s, strips, 5, 7, srcGt,
+          graft.raster.Warp.DstSpec(8, 10, dstGt, stripHeight = 4),
+          kernel = graft.raster.Warp.Nearest, noData = -1.0)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until 8)
+            yield (x, st.yOff + y, st.vals(y * 8 + x))
+        }.toDF("x", "y", "v")
+    }),
     "q_histogram" -> ((s, d) => {
       // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
       // equal-width buckets over [min, max]; here 8 buckets over lineitem
@@ -678,6 +695,28 @@ object SparkEntry {
         |FROM (SELECT x, y,
         |        (v - 100.0) * ((255.0 - 0.0) / (156.0 - 100.0)) + 0.0 + 0.5 AS s
         |      FROM sampled)""".stripMargin
+    },
+    "q_warp" -> {
+      val gridValues = polyGrid.zipWithIndex
+        .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+      // mirrors GeoTransform composition exactly: dst (8x10, origin
+      // (-0.5, 7.5), px 0.7) pulled from src (5x7, north-up unit pixels):
+      // gx = -0.5 + (dx+0.5)*0.7 ; gy = 7.5 - (dy+0.5)*0.7 ;
+      // px = gx ; py = 7 - gy ; nearest = floor
+      s"""WITH grid(i, v) AS (VALUES $gridValues),
+        |g AS (SELECT i % 5 AS x, i // 5 AS y, v FROM grid),
+        |dst AS (SELECT dx.x, dy.y
+        |        FROM (SELECT unnest(generate_series(0, 7)) AS x) dx,
+        |             (SELECT unnest(generate_series(0, 9)) AS y) dy),
+        |px AS (SELECT x, y,
+        |         CAST(floor(-0.5 + (x + 0.5) * 0.7 + (y + 0.5) * 0.0) AS INT) AS ix,
+        |         CAST(floor(7.0 - (7.5 + (y + 0.5) * (-0.7))) AS INT) AS iy
+        |       FROM dst)
+        |SELECT p.x, p.y,
+        |  CASE WHEN p.ix BETWEEN 0 AND 4 AND p.iy BETWEEN 0 AND 6
+        |       THEN CAST(g.v AS DOUBLE) ELSE -1.0 END AS v
+        |FROM px p LEFT JOIN g
+        |  ON g.x = p.ix AND g.y = p.iy""".stripMargin
     },
     "q_histogram" ->
       """SELECT CAST(least(floor((l_quantity - 1.0) / 50.0 * 8.0), 7.0) AS BIGINT) AS bucket,
