@@ -12,7 +12,8 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_window", "q_cell_of", "q_spatial_join", "q_knn",
     "q_tile_assign", "q_dedup_minhash", "q_ann_cosine", "q_text_quality",
-    "q_rasterize_checksum", "q_polygonize")
+    "q_rasterize_checksum", "q_polygonize", "q_idw", "q_hillshade",
+    "q_warp", "q_grid_metrics")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
