@@ -1,0 +1,138 @@
+package graft.core
+
+/** Constructive geometry operations for the slice the engine needs:
+  * convex hull (the reference delegates to GEOS,
+  * `/root/reference/gdal/ogr/ogrgeometry.cpp:3007` ConvexHull — here
+  * Andrew's monotone chain), Douglas-Peucker simplification
+  * (`ogrgeometry.cpp` Simplify), and segmentize — an exact port of
+  * `gdal/ogr/ogrlinestring.cpp:2343` OGRSimpleCurve::segmentize including
+  * its direction normalization and intermediate-point formula.
+  */
+object GeomBuild {
+
+  /** Convex hull of all vertices of `g` (monotone chain; CCW shell,
+    * closed ring). Degenerate inputs return the input geometry.
+    */
+  def convexHull(g: Geom): Geom = {
+    val pts = collectPoints(g).distinct.sortBy(p => (p._1, p._2))
+    if (pts.length < 3) return g
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val lower = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (p <- pts) {
+      while (lower.length >= 2 && cross(lower(lower.length - 2), lower.last, p) <= 0)
+        lower.remove(lower.length - 1)
+      lower += p
+    }
+    val upper = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (p <- pts.reverse) {
+      while (upper.length >= 2 && cross(upper(upper.length - 2), upper.last, p) <= 0)
+        upper.remove(upper.length - 1)
+      upper += p
+    }
+    val hull = (lower.dropRight(1) ++ upper.dropRight(1)) :+ lower.head
+    if (hull.length < 4) return g
+    val xy = new Array[Double](hull.length * 2)
+    hull.zipWithIndex.foreach { case ((x, y), i) => xy(2 * i) = x; xy(2 * i + 1) = y }
+    GPolygon(Array(GLine(xy)))
+  }
+
+  private def collectPoints(g: Geom): Seq[(Double, Double)] = g match {
+    case p: GPoint => Seq((p.x, p.y))
+    case l: GLine => (0 until l.numPoints).map(i => (l.x(i), l.y(i)))
+    case p: GPolygon => p.rings.toSeq.flatMap(r => collectPoints(r))
+    case m: GMulti => m.geoms.toSeq.flatMap(collectPoints)
+  }
+
+  /** Douglas-Peucker simplification with tolerance (per-part). */
+  def simplify(g: Geom, tolerance: Double): Geom = g match {
+    case l: GLine => GLine(dpSimplify(l.xy, tolerance))
+    case p: GPolygon =>
+      GPolygon(p.rings.map(r => GLine(dpSimplifyRing(r.xy, tolerance))))
+    case m: GMulti => GMulti(m.multiKind, m.geoms.map(simplify(_, tolerance)))
+    case other => other
+  }
+
+  private def dpSimplify(xy: Array[Double], tol: Double): Array[Double] = {
+    val n = xy.length / 2
+    if (n <= 2) return xy
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    def recurse(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 2) return
+      var best = -1; var bestD = tol * tol
+      var i = lo + 1
+      while (i < hi) {
+        val d = GeomOps.segmentDistSq(xy(2 * i), xy(2 * i + 1),
+          xy(2 * lo), xy(2 * lo + 1), xy(2 * hi), xy(2 * hi + 1))
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
+      }
+      if (best >= 0) { keep(best) = true; recurse(lo, best); recurse(best, hi) }
+    }
+    recurse(0, n - 1)
+    val out = new scala.collection.mutable.ArrayBuffer[Double](2 * n)
+    var i = 0
+    while (i < n) { if (keep(i)) { out += xy(2 * i); out += xy(2 * i + 1) }; i += 1 }
+    out.toArray
+  }
+
+  private def dpSimplifyRing(xy: Array[Double], tol: Double): Array[Double] = {
+    val out = dpSimplify(xy, tol)
+    if (out.length >= 8) out else xy // keep ring valid (≥ 4 points)
+  }
+
+  /** Exact port of OGRSimpleCurve::segmentize (direction normalization at
+    * `ogrlinestring.cpp:2356`, intermediate count
+    * `floor(sqrt(d²/maxLen²))`, Z carried from the segment start).
+    */
+  def segmentize(l: GLine, maxLength: Double): GLine = {
+    require(maxLength > 0, "maxLength must be strictly positive")
+    val n = l.numPoints
+    if (n < 2) return l
+    // normalize direction so both traversals give the same result
+    if (l.x(0) < l.x(n - 1) || (l.x(0) == l.x(n - 1) && l.y(0) < l.y(n - 1))) {
+      val rev = reverse(l)
+      return reverse(segmentize(rev, maxLength))
+    }
+    val maxSq = maxLength * maxLength
+    val xs = new scala.collection.mutable.ArrayBuffer[Double](2 * n)
+    val zs = new scala.collection.mutable.ArrayBuffer[Double](n)
+    val hasZ = l.hasZ
+    var i = 0
+    while (i < n) {
+      xs += l.x(i); xs += l.y(i)
+      if (hasZ) zs += l.zAt(i)
+      if (i < n - 1) {
+        val dx = l.x(i + 1) - l.x(i)
+        val dy = l.y(i + 1) - l.y(i)
+        val sq = dx * dx + dy * dy
+        if (sq > maxSq) {
+          val k = math.floor(math.sqrt(sq / maxSq)).toInt
+          var j = 1
+          while (j <= k) {
+            xs += l.x(i) + j * dx / (k + 1)
+            xs += l.y(i) + j * dy / (k + 1)
+            if (hasZ) zs += l.zAt(i) // reference: no Z interpolation
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    GLine(xs.toArray, if (hasZ) zs.toArray else null)
+  }
+
+  private def reverse(l: GLine): GLine = {
+    val n = l.numPoints
+    val xy = new Array[Double](2 * n)
+    val z = if (l.hasZ) new Array[Double](n) else null
+    var i = 0
+    while (i < n) {
+      xy(2 * i) = l.x(n - 1 - i); xy(2 * i + 1) = l.y(n - 1 - i)
+      if (z != null) z(i) = l.zAt(n - 1 - i)
+      i += 1
+    }
+    GLine(xy, z)
+  }
+}

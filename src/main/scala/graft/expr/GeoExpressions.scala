@@ -309,8 +309,62 @@ object GeoExtract {
     lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180
 }
 
+/** st_convexhull(wkb) -> wkb */
+case class StConvexHull(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    Geom.toWkb(graft.core.GeomBuild.convexHull(GeoRt.decode(b.asInstanceOf[Array[Byte]])))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.GeoFn.convexHull($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_convexhull"
+}
+
+/** st_simplify(wkb, tolerance) -> wkb (Douglas-Peucker) */
+case class StSimplify(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, t: Any): Any =
+    Geom.toWkb(graft.core.GeomBuild.simplify(
+      GeoRt.decode(b.asInstanceOf[Array[Byte]]), t.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, t) => s"graft.expr.GeoFn.simplify($b, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_simplify"
+}
+
+/** st_segmentize(wkb, maxLength) -> wkb */
+case class StSegmentize(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, t: Any): Any =
+    Geom.toWkb(GeoFn.segmentizeGeom(
+      GeoRt.decode(b.asInstanceOf[Array[Byte]]), t.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, t) => s"graft.expr.GeoFn.segmentize($b, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_segmentize"
+}
+
 /** String-typed helpers reachable from generated code (UTF8String in/out). */
 object GeoFn {
+  def convexHull(b: Array[Byte]): Array[Byte] =
+    Geom.toWkb(graft.core.GeomBuild.convexHull(GeoRt.decode(b)))
+  def simplify(b: Array[Byte], t: Double): Array[Byte] =
+    Geom.toWkb(graft.core.GeomBuild.simplify(GeoRt.decode(b), t))
+  def segmentize(b: Array[Byte], t: Double): Array[Byte] =
+    Geom.toWkb(segmentizeGeom(GeoRt.decode(b), t))
+  def segmentizeGeom(g: Geom, t: Double): Geom = g match {
+    case l: graft.core.GLine => graft.core.GeomBuild.segmentize(l, t)
+    case p: graft.core.GPolygon =>
+      graft.core.GPolygon(p.rings.map(graft.core.GeomBuild.segmentize(_, t)))
+    case m: graft.core.GMulti =>
+      graft.core.GMulti(m.multiKind, m.geoms.map(segmentizeGeom(_, t)))
+    case other => other
+  }
   def geomFromText(s: UTF8String): Array[Byte] = Geom.toWkb(Geom.fromWkt(s.toString))
   def asText(b: Array[Byte]): UTF8String = UTF8String.fromString(Geom.toWkt(GeoRt.decode(b)))
   def geometryType(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoRt.geometryType(b))

@@ -39,6 +39,11 @@ object gf {
   def st_transform(g: Column, srcSrid: Int, dstSrid: Int): Column =
     col(StTransform(x(g), x(lit(srcSrid)), x(lit(dstSrid))))
 
+  // ---- constructive ops ----
+  def st_convexhull(g: Column): Column = col(StConvexHull(x(g)))
+  def st_simplify(g: Column, tol: Column): Column = col(StSimplify(x(g), x(tol.cast("double"))))
+  def st_segmentize(g: Column, maxLen: Column): Column = col(StSegmentize(x(g), x(maxLen.cast("double"))))
+
   // ---- cell index ----
   def cell_of(lon: Column, lat: Column, res: Int): Column =
     col(CellOf(x(lon.cast("double")), x(lat.cast("double")), x(lit(res))))
@@ -85,7 +90,13 @@ object gf {
     val reg = spark.sessionState.functionRegistry
     def r1(name: String, f: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
       reg.createOrReplaceTempFunction(name, f, "internal")
-    r1("st_point", es => StPoint(es(0), es(1)))
+    // SQL numeric literals arrive as Decimal/Integer — coerce explicitly
+    // (temp functions bypass the analyzer's implicit-cast machinery)
+    def d(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.DoubleType)
+    def i(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.IntegerType)
+    r1("st_point", es => StPoint(d(es(0)), d(es(1))))
     r1("st_geomfromtext", es => StGeomFromText(es.head))
     r1("st_astext", es => StAsText(es.head))
     r1("st_x", es => StX(es.head))
@@ -97,17 +108,20 @@ object gf {
     r1("st_distance", es => StDistance(es(0), es(1)))
     r1("st_intersects", es => StIntersects(es(0), es(1)))
     r1("st_contains", es => StContains(es(0), es(1)))
-    r1("st_contains_point", es => StContainsPoint(es(0), es(1), es(2)))
-    r1("st_intersects_point", es => StIntersectsPoint(es(0), es(1), es(2)))
-    r1("st_transform", es => StTransform(es(0), es(1), es(2)))
-    r1("cell_of", es => CellOf(es(0), es(1), es(2)))
-    r1("cells_covering", es => CellsCovering(es(0), es(1)))
+    r1("st_contains_point", es => StContainsPoint(es(0), d(es(1)), d(es(2))))
+    r1("st_intersects_point", es => StIntersectsPoint(es(0), d(es(1)), d(es(2))))
+    r1("st_transform", es => StTransform(es(0), i(es(1)), i(es(2))))
+    r1("cell_of", es => CellOf(d(es(0)), d(es(1)), i(es(2))))
+    r1("cells_covering", es => CellsCovering(es(0), i(es(1))))
     r1("geo_extract", es => GeoExtract(es.head))
-    r1("minhash_sig", es => MinHashSig(es(0), es(1), es(2)))
+    r1("st_convexhull", es => StConvexHull(es.head))
+    r1("st_simplify", es => StSimplify(es(0), d(es(1))))
+    r1("st_segmentize", es => StSegmentize(es(0), d(es(1))))
+    r1("minhash_sig", es => MinHashSig(es(0), i(es(1)), i(es(2))))
     r1("simhash64", es => SimHash64(es.head))
     r1("doc_fingerprint", es => DocFingerprint(es.head))
     r1("lang_id", es => LangId(es.head))
-    r1("ngram_jaccard", es => NgramJaccard(es(0), es(1), es(2)))
+    r1("ngram_jaccard", es => NgramJaccard(es(0), es(1), i(es(2))))
     r1("hamming64", es => Hamming64(es(0), es(1)))
   }
 }
