@@ -181,6 +181,114 @@ object TextRt {
   }
 }
 
+object HStore {
+  /** Faithful port of OGRHStoreGetValue
+    * (`/root/reference/gdal/ogr/swq_op_general.cpp:107-242`): `k => v`
+    * pairs with optional double-quoting and backslash escapes; returns
+    * null for absent keys or malformed input (like the reference's NULL).
+    */
+  def getValue(hstore: String, searchedKey: String): String = {
+    var pos = 0
+    val n = hstore.length
+
+    // returns next position after separator, or -1 invalid; `end` = token end
+    def checkEnd(p0: Int, isKey: Boolean): Int = {
+      var p = p0 + 1
+      while (p < n) {
+        val c = hstore.charAt(p)
+        if (c == ' ') p += 1
+        else if (isKey && c == '=' && p + 1 < n && hstore.charAt(p + 1) == '>') return p + 2
+        else if (!isKey && c == ',') return p + 1
+        else return -1
+      }
+      p
+    }
+
+    /** (token, nextPos) or null. */
+    def nextString(start: Int, isKey: Boolean): (String, Int) = {
+      val sb = new StringBuilder
+      var started = false
+      var inString = false
+      var p = start
+      while (p < n) {
+        val c = hstore.charAt(p)
+        if (inString) {
+          if (c == '"') {
+            val np = checkEnd(p, isKey)
+            return if (np < 0) null else (sb.toString, np)
+          } else if (c == '\\') {
+            p += 1
+            if (p >= n) return null
+            sb.append(hstore.charAt(p))
+          } else sb.append(c)
+        } else {
+          if (c == ' ') {
+            if (started) {
+              val np = checkEnd(p, isKey)
+              return if (np < 0) null else (sb.toString, np)
+            }
+          } else if (isKey && c == '=' && p + 1 < n && hstore.charAt(p + 1) == '>') {
+            if (started) return (sb.toString, p + 2)
+          } else if (!isKey && c == ',') {
+            if (started) return (sb.toString, p + 1)
+          } else if (c == '"') {
+            sb.clear() // reference resets the token start at a quote
+            started = true
+            inString = true
+          } else {
+            started = true
+            sb.append(c)
+          }
+        }
+        p += 1
+      }
+      if (!inString && started) (sb.toString, p) else null
+    }
+
+    while (pos < n) {
+      val k = nextString(pos, isKey = true)
+      if (k == null || k._2 >= n) return null
+      val v = nextString(k._2, isKey = false)
+      if (v == null) return null
+      if (k._1 == searchedKey) return v._1
+      pos = v._2
+      if (pos >= n) return null
+    }
+    null
+  }
+}
+
+/** hstore_get_value(hstore, key) -> string (null on absent/invalid) */
+case class HStoreGetValue(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(h: Any, k: Any): Any = {
+    val v = HStore.getValue(h.asInstanceOf[UTF8String].toString,
+      k.asInstanceOf[UTF8String].toString)
+    if (v == null) null else UTF8String.fromString(v)
+  }
+  override def nullable: Boolean = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (h, k) => {
+      s"""org.apache.spark.unsafe.types.UTF8String ${ev.value}Tmp =
+         |  graft.expr.HStoreRt.getValue($h, $k);
+         |if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Tmp; }""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hstore_get_value"
+}
+
+/** Codegen shim (UTF8String in/out, null for missing). */
+object HStoreRt {
+  def getValue(h: UTF8String, k: UTF8String): UTF8String = {
+    val v = HStore.getValue(h.toString, k.toString)
+    if (v == null) null else UTF8String.fromString(v)
+  }
+}
+
 /** minhash_sig(text, shingleSize, numHashes) -> array<long> */
 case class MinHashSig(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {

@@ -81,9 +81,11 @@ object gf {
     */
   def ogr_str_eq(a: Column, b: Column): Column = lower(a) === lower(b)
 
-  /** hstore_get_value over "k=>v" pairs (`gdal/ogr/swq_op_general.cpp:107-216`). */
+  /** hstore_get_value over "k=>v" pairs — exact parser port incl. quoting
+    * and escapes (`gdal/ogr/swq_op_general.cpp:107-242`).
+    */
   def hstore_get_value(h: Column, key: Column): Column =
-    element_at(str_to_map(h, lit(","), lit("=>")), key)
+    col(HStoreGetValue(x(h), x(key)))
 
   /** Register SQL names so spark.sql("st_contains(...)") works. */
   def registerAll(spark: SparkSession): Unit = {
@@ -123,5 +125,6 @@ object gf {
     r1("lang_id", es => LangId(es.head))
     r1("ngram_jaccard", es => NgramJaccard(es(0), es(1), i(es(2))))
     r1("hamming64", es => Hamming64(es(0), es(1)))
+    r1("hstore_get_value", es => HStoreGetValue(es(0), es(1)))
   }
 }
