@@ -100,6 +100,44 @@ object KnnJoin {
     acc
   }
 
+  /** Exact kNN via a per-partition k-d tree (the north-star variant):
+    * every partition builds a local tree once, answers all queries with
+    * branch-and-bound, and the per-partition top-k lists merge globally —
+    * one pass over the points, no candidate shuffle (only P×Q×k rows move).
+    * Right when the query set is broadcastable; the ring-expansion variant
+    * above is the path for huge query sets (it never scans points outside
+    * candidate cells).
+    */
+  def kdTree(points: DataFrame, id: Column, lon: Column, lat: Column,
+             queries: DataFrame, qid: Column, qlon: Column, qlat: Column,
+             k: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val qs = queries.select(qid.cast("long").as("qid"),
+      qlon.cast("double").as("qlon"), qlat.cast("double").as("qlat"))
+      .as[(Long, Double, Double)].collect()
+    val qsB = spark.sparkContext.broadcast(qs)
+    val pts = points.select(id.cast("long").as("id"),
+      lon.cast("double").as("lon"), lat.cast("double").as("lat"))
+      .as[(Long, Double, Double)]
+    val partial = pts.mapPartitions { it =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val tree = graft.index.KdTree.build(
+          rows.map(_._2), rows.map(_._3), rows.map(_._1))
+        qsB.value.iterator.flatMap { case (q, qx, qy) =>
+          tree.knn(qx, qy, k).iterator.map { case (d2, pid) => (q, pid, d2) }
+        }
+      }
+    }.toDF("qid", "pid", "__d2")
+    partial
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("__d2"), col("pid"))))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("pid"), sqrt(col("__d2")).as("dist"))
+  }
+
   /** Brute-force reference implementation (cross join + window) — the
     * oracle for the cell-ring variant and the right plan when the point
     * set is tiny.

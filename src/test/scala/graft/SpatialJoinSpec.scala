@@ -61,6 +61,19 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got.size === 5 * k)
   }
 
+  test("per-partition k-d tree kNN matches brute force") {
+    val pts = points(5000, 21L).repartition(7).cache()
+    val qs = Seq((0L, 2.35, 48.85), (1L, -122.4, 37.78), (2L, 151.2, -33.86),
+      (3L, 0.0, 0.0), (4L, 179.9, 89.9)).toDF("qid", "qlon", "qlat")
+    val k = 9
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("qid"), r.getAs[Long]("pid"))
+    val expected = KnnJoin.bruteForce(pts, $"lon", $"lat", qs, $"qid", $"qlon", $"qlat", k)
+      .collect().map(key).sorted.toSeq
+    val got = KnnJoin.kdTree(pts, $"pid", $"lon", $"lat", qs, $"qid", $"qlon", $"qlat", k)
+      .collect().map(key).sorted.toSeq
+    assert(got === expected)
+  }
+
   test("kNN with fewer points than k returns all points per query") {
     val pts = points(3, 11L)
     val qs = Seq((0L, 10.0, 10.0)).toDF("qid", "qlon", "qlat")
