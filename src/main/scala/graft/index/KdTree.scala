@@ -9,7 +9,7 @@ package graft.index
   * a bounded max-heap (O(log n + k) expected per query).
   */
 final class KdTree private (xs: Array[Double], ys: Array[Double], ids: Array[Long],
-                            idx: Array[Int]) {
+                            idx: Array[Int]) extends Serializable {
 
   /** (dist², id) pairs of the k nearest points, sorted ascending by
     * (dist², id).

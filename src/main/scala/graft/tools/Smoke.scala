@@ -75,6 +75,35 @@ object Smoke {
     ex.show(truncate = false)
     assert(ex.count() == 3, "geo_extract finds 3 mentions")
 
+    // constructive geometry through SQL
+    val seg = spark.sql(
+      "select st_astext(st_segmentize(st_geomfromtext('LINESTRING(0 0,0 10)'), 1.00001))")
+      .head().getString(0)
+    assert(seg.startsWith("LINESTRING (0 0,0 1,"), "st_segmentize SQL")
+    val hullArea = spark.sql(
+      "select st_area(st_convexhull(st_geomfromtext('POLYGON((0 0,10 0,10 10,6 10,6 4,4 4,4 10,0 10,0 0))')))")
+      .head().getDouble(0)
+    assert(hullArea == 100.0, "st_convexhull SQL")
+    assert(spark.sql("select hstore_get_value('a=>b,c=>d', 'c')").head().getString(0) == "d")
+
+    // dedup + kNN + text analysis operators end-to-end
+    val docs = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "totally different words here")).toDF("id", "text")
+    assert(graft.operators.Dedup.exact(docs, $"text", $"id").count() == 2, "exact dedup")
+    assert(docs.select(gf.simhash64($"text"), gf.doc_fingerprint($"text"), gf.lang_id($"text"))
+      .collect().length == 3)
+    val qs2 = Seq((0L, 5.0, 5.0)).toDF("qid", "qlon", "qlat")
+    val kn = graft.operators.KnnJoin.kdTree(pts.withColumn("pid2", $"lon".cast("long")),
+      $"pid2", $"lon", $"lat", qs2, $"qid", $"qlon", $"qlat", 2)
+    assert(kn.count() == 2, "kdTree knn")
+
+    // flagship pipeline transform on a small page batch
+    val pages = graft.sources.Pages.synth(spark, 2000L)
+    val zonesG = zones.select($"zone_id", $"geom")
+    val pipeRows = graft.jobs.Pipeline.transform(pages, zonesG,
+      graft.jobs.Pipeline.Config(outDir = "", nBatches = 1)).count()
+    println(s"pipeline rows: $pipeRows")
+
     // show a physical plan to confirm codegen participation
     println("== plan (PIP filter should sit inside WholeStageCodegen) ==")
     pts.crossJoin(zones).filter(gf.st_contains_point($"geom", $"lon", $"lat")).explain("formatted")
