@@ -413,6 +413,28 @@ object SparkEntry {
           yield (x, st.yOff + y, st.vals(y * st.width + x))
       }.toDF("x", "y", "v")
     }),
+    "q_sieve" -> ((s, d) => {
+      import s.implicits._
+      val unmergable = Array(
+        10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24,
+        25, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38,
+        39, 40, 41, 42, 43)
+      def strips(src: Array[Int]) = (0 until 7 by 3).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(3, 7 - y0)
+        graft.raster.Overview.IStrip(idx, y0, hh, 5,
+          java.util.Arrays.copyOfRange(src, y0 * 5, (y0 + hh) * 5))
+      }.toDS()
+      def cs(ds: org.apache.spark.sql.Dataset[graft.raster.Overview.IStrip]): Int = {
+        val parts = ds.map(st => graft.raster.Checksum.partialInt(
+          st.vals, 0, st.vals.length, st.yOff.toLong * 5))
+        graft.raster.Checksum.finish(parts.reduce(_ + _))
+      }
+      Seq(
+        ("sieve_1_4conn", cs(graft.raster.Sieve.sieve(s, strips(polyGrid), 5, 7, 2, 4))),
+        ("sieve_2_8conn", cs(graft.raster.Sieve.sieve(s, strips(polyGrid), 5, 7, 2, 8))),
+        ("sieve_3_unmergable", cs(graft.raster.Sieve.sieve(s, strips(unmergable), 5, 7, 2, 8))))
+        .toDF("test_case", "checksum")
+    }),
     "q_warp" -> ((s, d) => {
       import s.implicits._
       val srcGt = graft.core.GeoTransform.northUp(0, 7, 1, 1)
@@ -696,6 +718,11 @@ object SparkEntry {
         |        (v - 100.0) * ((255.0 - 0.0) / (156.0 - 100.0)) + 0.0 + 0.5 AS s
         |      FROM sampled)""".stripMargin
     },
+    "q_sieve" ->
+      """SELECT * FROM (VALUES
+        |  ('sieve_1_4conn', 364), ('sieve_2_8conn', 370),
+        |  ('sieve_3_unmergable', 451))
+        |AS t(test_case, checksum)""".stripMargin,
     "q_warp" -> {
       val gridValues = polyGrid.zipWithIndex
         .map { case (v, i) => s"($i, $v)" }.mkString(", ")
