@@ -413,6 +413,22 @@ object SparkEntry {
           yield (x, st.yOff + y, st.vals(y * st.width + x))
       }.toDF("x", "y", "v")
     }),
+    "q_proximity" -> ((s, d) => {
+      import s.implicits._
+      // distributed exact-euclidean proximity on the polygonize grid
+      // (targets = value 156), checked against a brute-force oracle
+      val strips = (0 until 7 by 3).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(3, 7 - y0)
+        graft.raster.Overview.IStrip(idx, y0, hh, 5,
+          java.util.Arrays.copyOfRange(polyGrid, y0 * 5, (y0 + hh) * 5))
+      }.toDS()
+      graft.raster.Proximity.proximity(s, strips, 5, 7, Set(156), maxDist = 10.0, noData = -1)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until 5)
+            yield (x, st.yOff + y, st.vals(y * 5 + x))
+        }.toDF("x", "y", "d")
+        .select(col("x"), col("y"), round(col("d"), 6).as("d_r"))
+    }),
     "q_sieve" -> ((s, d) => {
       import s.implicits._
       val unmergable = Array(
@@ -717,6 +733,19 @@ object SparkEntry {
         |FROM (SELECT x, y,
         |        (v - 100.0) * ((255.0 - 0.0) / (156.0 - 100.0)) + 0.0 + 0.5 AS s
         |      FROM sampled)""".stripMargin
+    },
+    "q_proximity" -> {
+      val gridValues = polyGrid.zipWithIndex
+        .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+      s"""WITH grid(i, v) AS (VALUES $gridValues),
+        |g AS (SELECT i % 5 AS x, i // 5 AS y, v FROM grid),
+        |t AS (SELECT x, y FROM g WHERE v = 156),
+        |d AS (
+        |  SELECT g.x, g.y,
+        |    min(sqrt(CAST((g.x - t.x) * (g.x - t.x) + (g.y - t.y) * (g.y - t.y) AS DOUBLE))) AS dist
+        |  FROM g, t GROUP BY g.x, g.y)
+        |SELECT x, y, round(CASE WHEN dist > 10.0 THEN -1.0 ELSE dist END, 6) AS d_r
+        |FROM d""".stripMargin
     },
     "q_sieve" ->
       """SELECT * FROM (VALUES
