@@ -116,7 +116,7 @@ object ScalingBench {
       val rows = runs.head._2
       val sec = runs.map(_._1).min // best (steady-state throughput claim)
       val tput = nPages / sec
-      println(f"[scaling] local[$cpus%2d]: median $sec%7.2f s  $tput%10.0f pages/s  (runs: ${runs.map(r => f"${r._1}%.2f").mkString(", ")}; $rows rows)")
+      println(f"[scaling] local[$cpus%2d]: best $sec%7.2f s  $tput%10.0f pages/s  (runs: ${runs.map(r => f"${r._1}%.2f").mkString(", ")}; $rows rows)")
       println(f"""{"metric":"level_throughput","cpus":$cpus,"pages":$nPages,"sec":$sec%.2f,"pages_per_sec":$tput%.0f,"out_rows":$rows}""")
       (cpus, sec, tput, rows)
     }
