@@ -109,6 +109,31 @@ class OgrSqlSpec extends AnyFunSuite {
     assert(math.abs(a - 5268.813) < 0.5)
   }
 
+  test("ogr_rfc28_14: SUBSTR with start+length (rfc28:306)") {
+    val got = spark.sql(
+      "select substr(prfedea, 4, 5) s from poly where eas_id in (168, 179) order by fid")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("43411", "43423"))
+  }
+
+  test("ogr_rfc28_15: CONCAT with CAST CHARACTER (rfc28:322)") {
+    val got = spark.sql(
+      """select concat(prfedea, ' ', cast(eas_id as string)) c
+        |from poly where eas_id in (168, 179) order by fid""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("35043411 168", "35043423 179"))
+  }
+
+  test("ogr_rfc28_26: SUBSTR with negative offset (rfc28:581)") {
+    import org.apache.spark.sql.functions._
+    val got = spark.table("poly")
+      .filter(col("eas_id").isin(168, 179))
+      .orderBy(col("fid"))
+      .select(gf.ogr_substr(col("prfedea"), lit(-2), None))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("11", "23"))
+  }
+
   test("st_area matches the reference AREA attribute for all 10 polygons") {
     import spark.implicits._
     val rows = spark.sql("select area, st_area(geom) a from poly")
