@@ -32,9 +32,11 @@ class FillNodataSpec extends AnyFunSuite {
     val grad = Array.tabulate(25)(i => (i % 5 * 10 + i / 5).toFloat)
     val f2 = FillNodata.fill(grad, valid, 5, 5)
     assert(f2(12) > grad(11) - 10 && f2(12) < grad(13) + 10)
-    // symmetric gradient: the four unit-distance quadrant hits average to
-    // the value the hole itself would have had (x*10+y = 22 at (2,2))
-    assert(math.abs(f2(12) - 22.0f) < 1.0f)
+    // exact quadrant hits for the hole at (2,2), grid v = x*10+y:
+    // TL=(2,1) v=21 d=1; BL=(2,3) v=23 d=1; TR=(3,2) v=32 d=1;
+    // BR=(3,3) v=33 d=√2 → IDW = (21+23+32+33/√2)/(3+1/√2)
+    val expect = (21.0 + 23.0 + 32.0 + 33.0 / math.sqrt(2)) / (3.0 + 1.0 / math.sqrt(2))
+    assert(math.abs(f2(12) - expect) < 1e-4, s"got ${f2(12)}, expect $expect")
   }
 
   test("unreachable holes (beyond maxSearchDist) stay unchanged") {
