@@ -41,7 +41,7 @@ object Bench {
     // flagship pipeline throughput: pages/sec over a deterministic synthetic
     // page table sized to the scale factor (sf0.1 -> 300k pages)
     val nPages = {
-      val sf = sfDir.split("sf").last.toDouble
+      val sf = scala.util.Try(sfDir.split("sf").last.toDouble).getOrElse(0.01)
       math.max(10000L, (3000000 * sf).toLong)
     }
     val pages = graft.sources.Pages.synth(spark, nPages, partitions = cpus.toInt * 2)
