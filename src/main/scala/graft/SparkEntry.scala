@@ -173,7 +173,7 @@ object SparkEntry {
     "q_window" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         sum(floor(col("o_totalprice") * 100).cast("long"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_c"))
     }),
@@ -569,15 +569,15 @@ object SparkEntry {
     "q_window" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER w AS rn,
-        |  sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |          ROWS UNBOUNDED PRECEDING) AS run_c
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_c
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_events_hourly" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
         |  count(*) AS n,
-        |  sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_c
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_cell_of" ->
       s"""WITH $docPointsSql
@@ -806,6 +806,50 @@ object SparkEntry {
         |  SELECT qid, id, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
         |  FROM cos)
-        |SELECT qid, id, round(cosine, 6) AS cos_r FROM ranked WHERE rn <= 5""".stripMargin
+        |SELECT qid, id, round(cosine, 6) AS cos_r FROM ranked WHERE rn <= 5""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |x AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+        |  FROM s)
+        |SELECT user_id, sess_idx, count(*) AS n_events,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_langid" ->
+      // SQL re-derivation of TextRt.langId: lowercase letter tokens,
+      // stopword-profile hit counts, first-profile-wins ties, "und" when
+      // best evidence < 5% of tokens.
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, len(toks) AS nt,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','are','this','you'], x))) AS h_en,
+        |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','den','von','sie','auf','werden','im'], x))) AS h_de,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','et','des','est','une','dans','que','pour','qui','sur','pas','vous'], x))) AS h_fr,
+        |    len(list_filter(toks, x -> list_contains(['el','la','los','las','que','de','en','una','por','con','para','del','se','es'], x))) AS h_es,
+        |    len(list_filter(toks, x -> list_contains(['que','uma','para','com','os','das','dos','em','um','se','mais','como','foi','por'], x))) AS h_pt,
+        |    len(list_filter(toks, x -> list_contains(['и','в','не','на','что','это','как','он','по','из','она','так','его','за'], x))) AS h_ru
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN m = 0 OR m * 20 < nt THEN 'und'
+        |       WHEN h_en = m THEN 'en' WHEN h_de = m THEN 'de'
+        |       WHEN h_fr = m THEN 'fr' WHEN h_es = m THEN 'es'
+        |       WHEN h_pt = m THEN 'pt' ELSE 'ru' END AS lang_guess,
+        |  lang AS lang_declared
+        |FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_pt, h_ru) AS m FROM h)""".stripMargin,
+    "q_fingerprint" -> graft.fixtures.FingerprintOracle.valuesSql
   )
 }
