@@ -84,25 +84,31 @@ object Pipeline {
     fs.rename(tmp, fin) // atomic commit: record exists ⇒ batch output complete
   }
 
-  /** Run (or resume) the pipeline. Returns per-batch results of THIS run
-    * (skipped batches excluded).
+  /** One batch: single scan of the batch input (the write job), with the
+    * input-page count observed from that same scan (no second count job);
+    * output stats come from re-reading the just-written batch parquet
+    * (small, local to the batch) rather than caching the whole transform.
     */
-  def run(spark: SparkSession, pages: DataFrame, zones: DataFrame,
-          cfg: Config): Seq[BatchResult] = {
+  private def runBatch(spark: SparkSession, batchPages: DataFrame, zones: DataFrame,
+                       cfg: Config, b: Int): BatchResult = {
+    val obs = org.apache.spark.sql.Observation(s"graft_pipe_in_$b")
+    val observed = batchPages.observe(obs, count(lit(1)).as("n"))
+    transform(observed, zones, cfg)
+      .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$b")
+    val inCount = obs.get("n").asInstanceOf[Long]
+    val stats = spark.read.parquet(s"${cfg.outDir}/batch=$b").agg(
+      count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("url"), col("cell"), col("zone_id"))), lit(0L))).head()
+    BatchResult(b, inCount, stats.getLong(0), stats.getLong(1))
+  }
+
+  private def commitLoop(spark: SparkSession, cfg: Config,
+                         batchSource: Int => DataFrame, zones: DataFrame): Seq[BatchResult] = {
     val done = committedBatches(spark, cfg)
     val results = Seq.newBuilder[BatchResult]
     var committed = 0
     for (b <- 0 until cfg.nBatches if !done.contains(b)) {
-      val batchPages = pages.filter(pmod(xxhash64(col("url")), lit(cfg.nBatches)) === b)
-      val out = transform(batchPages, zones, cfg).cache()
-      out.write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$b")
-      val stats = out.agg(
-        count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("url"), col("cell"), col("zone_id"))), lit(0L)),
-        countDistinct(col("url"))).head()
-      val inCount = batchPages.count()
-      out.unpersist()
-      val r = BatchResult(b, inCount, stats.getLong(0), stats.getLong(1))
+      val r = runBatch(spark, batchSource(b), zones, cfg, b)
       commitLineage(spark, cfg, r)
       results += r
       committed += 1
@@ -110,6 +116,40 @@ object Pipeline {
         throw new RuntimeException(s"injected failure after batch $b (test hook)")
     }
     results.result()
+  }
+
+  /** Run (or resume) the pipeline over an arbitrary DataFrame input.
+    * Batches are stable url-hash classes; each batch job scans the input
+    * once (total nBatches scans — use [[runOnPath]] for file inputs, which
+    * scans the whole input exactly once across all batches).
+    */
+  def run(spark: SparkSession, pages: DataFrame, zones: DataFrame,
+          cfg: Config): Seq[BatchResult] =
+    commitLoop(spark, cfg,
+      b => pages.filter(pmod(xxhash64(col("url")), lit(cfg.nBatches)) === b), zones)
+
+  /** Run (or resume) over a parquet directory: batch = contiguous range of
+    * the sorted file list, so the full input is read exactly ONCE per run
+    * (each batch job opens only its own files — no per-batch full scans).
+    * File-list order is deterministic, so restarts and different cluster
+    * sizes see identical batches.
+    */
+  def runOnPath(spark: SparkSession, inputPath: String, zones: DataFrame,
+                cfg: Config): Seq[BatchResult] = {
+    val fs = new Path(inputPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(inputPath))
+      .map(_.getPath.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("/_"))
+      .sorted
+    require(files.nonEmpty, s"no parquet files under $inputPath")
+    val perBatch: Array[Array[String]] =
+      Array.tabulate(cfg.nBatches)(b => files.zipWithIndex.collect {
+        case (f, i) if i % cfg.nBatches == b => f
+      })
+    commitLoop(spark, cfg,
+      b => if (perBatch(b).isEmpty)
+        spark.read.parquet(files.head).limit(0)
+      else spark.read.parquet(perBatch(b): _*), zones)
   }
 
   /** Read back the full (resumed) output. */

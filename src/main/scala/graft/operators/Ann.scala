@@ -32,16 +32,45 @@ object Ann {
     * @param corpus DataFrame with (id, vec: array<float>)
     * @param queries DataFrame with (qid, qvec: array<float>) — small side
     */
-  def cosineTopK(corpus: DataFrame, id: Column, vec: Column,
-                 queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
-    val q = broadcast(queries.select(qid.cast("long").as("qid"), qvec.as("__qv")))
-    corpus.select(id.cast("long").as("id"), vec.as("__v"))
-      .crossJoin(q)
-      .withColumn("cosine", cosine(col("__v"), col("__qv")))
+  /** Per-partition top-k reduction: each input partition keeps only its k
+    * best (cosine desc, id asc) rows per query in a bounded heap, so the
+    * global window ranks at most partitions×k×queries rows instead of
+    * funneling the whole corpus×query product through one reducer per
+    * query. Exact: the global top-k is a subset of every partition's local
+    * top-k.
+    */
+  private def localThenGlobalTopK(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    // worst-first ordering: max of the heap = the row to evict
+    val worstFirst: Ordering[(Long, Long, Double)] =
+      Ordering.by(t => (-t._3, t._2)) // lower cosine = greater; tie: higher id
+    val partial = scored.select(col("qid"), col("id"), col("cosine"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+        it.foreach { row =>
+          val h = heaps.getOrElseUpdate(row._1,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (h.size < k) h.enqueue(row)
+          else if (worstFirst.lt(row, h.head)) { h.dequeue(); h.enqueue(row) }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }.toDF("qid", "id", "cosine")
+    partial
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))))
       .filter(col("__rn") <= k)
       .select(col("qid"), col("id"), col("cosine"))
+  }
+
+  def cosineTopK(corpus: DataFrame, id: Column, vec: Column,
+                 queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+    val q = broadcast(queries.select(qid.cast("long").as("qid"), qvec.as("__qv")))
+    val scored = corpus.select(id.cast("long").as("id"), vec.as("__v"))
+      .crossJoin(q)
+      .withColumn("cosine", cosine(col("__v"), col("__qv")))
+    localThenGlobalTopK(scored, k)
   }
 
   /** Deterministic hyperplane signature: bit b = sign(dot(v, plane_b)),
@@ -79,11 +108,8 @@ object Ann {
         .withColumn("__flip", explode(array(probes: _*)))
         .withColumn("__qbucket", expr("__qsig ^ __flip"))
         .drop("__qsig", "__flip"))
-    c.join(q, col("__bucket") === col("__qbucket"))
+    val scored = c.join(q, col("__bucket") === col("__qbucket"))
       .withColumn("cosine", cosine(col("__v"), col("__qv")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))))
-      .filter(col("__rn") <= k)
-      .select(col("qid"), col("id"), col("cosine"))
+    localThenGlobalTopK(scored, k)
   }
 }

@@ -54,10 +54,15 @@ object Dedup {
     val withSig = df.select(id.cast("long").as("id"),
       gf.minhash_sig(text, shingle, numHashes).as("sig"))
     // one row per (doc, band): bucket key = hash of the band's slice
+    // localCheckpoint: the banded DF feeds BOTH sides of the self-join —
+    // without it the shingle+numHashes signature pass (the dominant cost)
+    // runs twice. Eager checkpoint materializes it once; both join sides
+    // read the checkpointed blocks.
     val banded = withSig.select(col("id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> named_struct('band', b, 'key', xxhash64(b, slice(sig, b * $rows + 1, $rows))))")).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+      .localCheckpoint(true)
     val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),

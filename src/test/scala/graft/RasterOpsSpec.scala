@@ -48,13 +48,13 @@ class RasterOpsSpec extends AnyFunSuite {
     // flat: hillshade = 1 + 254*sin(alt); slope 0
     val flat = Array.fill(w * h)(5.0)
     val hsFlat = Dem.apply3x3Local(flat, w, h, 0.0,
-      (a, b, c, d, e, f, g, i) => Dem.hillshadePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, Dem.HillshadeParams()))
+      (a, b, c, d, _, e, f, g, i) => Dem.hillshadePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, Dem.HillshadeParams()))
     val expectFlat = 1.0 + 254.0 * math.sin(math.toRadians(45.0))
     assert(math.abs(hsFlat(w + 1) - expectFlat) < 1e-9)
     // plane z = 2x: Horn dx = ((z(x-1)*4) - (z(x+1)*4))/1 = -16 ; slope = atan(16/8)
     val plane = Array.tabulate(w * h)(i => 2.0 * (i % w))
     val sl = Dem.apply3x3Local(plane, w, h, -9999.0,
-      (a, b, c, d, e, f, g, i) => Dem.slopePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, 1.0, degrees = true))
+      (a, b, c, d, _, e, f, g, i) => Dem.slopePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, 1.0, degrees = true))
     val expectSlope = math.atan(16.0 / 8.0).toDegrees
     assert(math.abs(sl(w + 1) - expectSlope) < 1e-9)
     assert(sl(0) === -9999.0) // border = dst nodata
@@ -70,14 +70,14 @@ class RasterOpsSpec extends AnyFunSuite {
     }.toDS()
     val p = Dem.HillshadeParams(z = 2.0, alt = 40.0, az = 300.0)
     val localHs = Dem.apply3x3Local(vals, w, h, 0.0,
-      (a, b, c, d, e, f, g, i) => Dem.hillshadePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, p))
+      (a, b, c, d, _, e, f, g, i) => Dem.hillshadePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, p))
     for (stripH <- Seq(2, 5, 13)) {
       val got = Dem.hillshade(spark, strips(stripH), w, h, gt, p)
         .collect().sortBy(_.yOff).flatMap(_.vals)
       assert(got.toSeq === localHs.toSeq, s"hillshade stripH=$stripH")
     }
     val localSl = Dem.apply3x3Local(vals, w, h, -9999.0,
-      (a, b, c, d, e, f, g, i) => Dem.slopePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, 1.0, degrees = true))
+      (a, b, c, d, _, e, f, g, i) => Dem.slopePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, 1.0, degrees = true))
     val gotSl = Dem.slope(spark, strips(3), w, h, gt).collect().sortBy(_.yOff).flatMap(_.vals)
     assert(gotSl.toSeq === localSl.toSeq)
   }
