@@ -93,6 +93,44 @@ object SparkEntry {
     156, 156, 156, 103, 103)
   private val polyGt = GeoTransform(440720, 60, 0, 3751440, 0, -60)
 
+  /** Shared 40×30 synthetic DEM (same grid as the hillshade/slope oracles),
+    * split into strips of `stripH` rows.
+    */
+  private def demGridStrips(s: SparkSession, stripH: Int) = {
+    import s.implicits._
+    val w = 40; val h = 30
+    val vals = Array.tabulate(w * h)(i => ((i % w) * 31 + (i / w) * 17) % 23 * 1.0)
+    (0 until h by stripH).zipWithIndex.map { case (y0, idx) =>
+      val hh = math.min(stripH, h - y0)
+      graft.raster.Dem.DStrip(idx, y0, hh,
+        java.util.Arrays.copyOfRange(vals, y0 * w, (y0 + hh) * w))
+    }.toDS()
+  }
+
+  private def demEmit(ds: org.apache.spark.sql.Dataset[graft.raster.Dem.DStrip],
+                      alias: String): DataFrame = {
+    import ds.sparkSession.implicits._
+    val w = 40; val h = 30
+    ds.flatMap { st =>
+      for (y <- 0 until st.height; x <- 1 until w - 1
+           if st.yOff + y >= 1 && st.yOff + y <= h - 2)
+        yield (x, st.yOff + y, st.vals(y * w + x))
+    }.toDF("x", "y", "v")
+      .select(col("x"), col("y"), round(col("v"), 6).as(alias))
+  }
+
+  /** Deterministic 500-vertex forest for the graph oracles: 10 groups of
+    * 50; within a group, vertex j's parent is j/2 (binary tree), group
+    * roots have no edge. SQL-mirrorable in closed form.
+    */
+  private def graphEdges(s: SparkSession): DataFrame =
+    s.range(1, 500).toDF("i")
+      .filter(col("i") % 50 =!= 0)
+      .select(
+        (col("i") - col("i") % 50 + floor((col("i") % 50) / 2).cast("long")).as("src"),
+        col("i").as("dst"),
+        (col("i") % 13 + 1).cast("double").as("w"))
+
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001): full
     * pipeline — synthetic pages → geo_extract → cell index → cell-bucketed
     * PIP join against zones → per-zone page counts.
@@ -478,6 +516,131 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     }),
 
+    // ---------------- DEM family (distributed 3×3 over strips) ----------------
+    "q_aspect" -> ((s, d) =>
+      demEmit(graft.raster.Dem.aspect(s, demGridStrips(s, 9), 40, 30), "asp_r")),
+    "q_tri" -> ((s, d) =>
+      demEmit(graft.raster.Dem.tri(s, demGridStrips(s, 8), 40, 30), "tri_r")),
+    "q_tpi" -> ((s, d) =>
+      demEmit(graft.raster.Dem.tpi(s, demGridStrips(s, 13), 40, 30), "tpi_r")),
+    "q_roughness" -> ((s, d) =>
+      demEmit(graft.raster.Dem.roughness(s, demGridStrips(s, 6), 40, 30), "rgh_r")),
+    "q_color_relief" -> ((s, d) => {
+      val lut = Array(
+        graft.raster.Dem.ColorEntry(0.0, 0, 0, 255),
+        graft.raster.Dem.ColorEntry(11.0, 0, 255, 0),
+        graft.raster.Dem.ColorEntry(22.0, 255, 0, 0))
+      graft.raster.Dem.colorRelief(s, demGridStrips(s, 7), 40, lut)
+    }),
+
+    // ---------------- distributed contour / fillnodata / palette ----------------
+    "q_contour" -> ((s, d) => {
+      import s.implicits._
+      val size = 160
+      val vals = Array.fill(size * size)(0.0)
+      for (y <- 40 until 120; x <- 40 until 120) vals(y * size + x) = 10.0
+      for (y <- 60 until 100; x <- 60 until 100) vals(y * size + x) = 20.0
+      for (y <- 70 until 90; x <- 70 until 90) vals(y * size + x) = 25.0
+      val gt = graft.core.GeoTransform(1, 1.0 / size, 0, 50, 0, -1.0 / size)
+      val strips = (0 until size by 16).zipWithIndex.map { case (y0, idx) =>
+        graft.raster.Dem.DStrip(idx, y0, 16,
+          java.util.Arrays.copyOfRange(vals, y0 * size, (y0 + 16) * size))
+      }.toDS()
+      graft.raster.Contour.contour(s, strips, size, size, gt, Seq(10.0, 20.0), 10.0)
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_chains"),
+          round(sum(gf.st_length(col("wkb"))), 6).as("len_r"))
+    }),
+    "q_fillnodata" -> ((s, d) => {
+      import s.implicits._
+      val bt = graft.fixtures.RasterFixtures.byteTif
+      def strips(vals: Array[Float], valid: Array[Boolean], w: Int, h: Int, sh: Int) =
+        (0 until h by sh).zipWithIndex.map { case (y0, idx) =>
+          val hh = math.min(sh, h - y0)
+          graft.raster.FillNodata.FStrip(idx, y0, hh,
+            java.util.Arrays.copyOfRange(vals, y0 * w, (y0 + hh) * w),
+            java.util.Arrays.copyOfRange(valid, y0 * w, (y0 + hh) * w))
+        }.toDS()
+      // case 1: fully-valid byte.tif passes through → checksum 4672
+      val identity = graft.raster.FillNodata.fillStrips(s,
+        strips(bt.map(_.toFloat), Array.fill(400)(true), 20, 20, 7), 20, 20)
+      val cs = {
+        val parts = identity.map { st =>
+          val asInt = st.vals.map(v => graft.raster.Translate.toByte(v.toDouble))
+          graft.raster.Checksum.partialInt(asInt, 0, asInt.length, st.yOff.toLong * 20)
+        }
+        graft.raster.Checksum.finish(parts.reduce(_ + _))
+      }
+      // case 2: constant field with a deterministic hole pattern fills
+      // back to the constant exactly → zero mismatches
+      val const = Array.fill(400)(42.0f)
+      val holes = Array.tabulate(400)(i => (i * 7 + i / 20 * 13) % 5 != 0)
+      val filled = graft.raster.FillNodata.fillStrips(s,
+        strips(const, holes, 20, 20, 6), 20, 20)
+      val bad = filled.flatMap(_.vals.toSeq).filter(_ != 42.0f).count()
+      Seq(("identity_checksum", cs.toLong), ("const_bad_pixels", bad))
+        .toDF("test_case", "val")
+    }),
+    "q_palette" -> ((s, d) => {
+      import s.implicits._
+      val fx = graft.fixtures.RasterFixtures
+      val strips = (0 until 50 by 9).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(9, 50 - y0)
+        graft.raster.Palette.RGBStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(fx.rgbSmallRed, y0 * 50, (y0 + hh) * 50),
+          java.util.Arrays.copyOfRange(fx.rgbSmallGreen, y0 * 50, (y0 + hh) * 50),
+          java.util.Arrays.copyOfRange(fx.rgbSmallBlue, y0 * 50, (y0 + hh) * 50))
+      }.toDS().localCheckpoint(true)
+      val ct = graft.raster.Palette.medianCutStrips(strips, 8)
+      val idx = graft.raster.Palette.ditherStripsStreamed(strips, ct)
+        .toSeq.sortBy(_._2).flatMap(_._3).toArray
+      val cs = graft.raster.Checksum.finish(
+        graft.raster.Checksum.partialInt(idx, 0, idx.length, 0L))
+      (ct.zipWithIndex.map { case (c, i) => (s"color_$i", c.r, c.g, c.b) } :+
+        (("dither_checksum", cs, 0, 0))).toSeq
+        .toDF("item", "a", "b", "c")
+    }),
+    "q_pansharpen" -> ((s, d) => {
+      import s.implicits._
+      val w = Array(0.25, 0.75)
+      val strips = (0 until 4).map { st =>
+        graft.raster.Pansharpen.MultiStrip(st, st * 2, 2,
+          Array.tabulate(20)(i => 50.0 + st + i),
+          Array(Array.tabulate(20)(i => 10.0 + i), Array.tabulate(20)(i => 30.0 + i)))
+      }.toDS()
+      graft.raster.Pansharpen.brovey(strips, w)
+        .flatMap { st =>
+          st.spectral.iterator.zipWithIndex.flatMap { case (band, bi) =>
+            band.iterator.zipWithIndex.map { case (v, i) => (st.stripIdx, bi + 1, i, v) }
+          }
+        }.toDF("strip", "band", "px", "v")
+        .select(col("strip"), col("band"), col("px"), round(col("v"), 6).as("v_r"))
+    }),
+
+    // ---------------- ANN-LSH recall / graph ops ----------------
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Ann.cosineTopK(emb, col("vec_id"), col("embedding"),
+          qs, col("qid"), col("qvec"), 5)
+        .select(col("qid"), col("id"))
+      // bits sized to the corpus (~8 vectors/bucket at 500×64d): 12-bit
+      // buckets are near-empty at this sf and recall would measure noise
+      val approx = Ann.lshTopK(emb, col("vec_id"), col("embedding"),
+          qs, col("qid"), col("qvec"), 5, dim = 64, bits = 6, probeRadius = 2)
+        .select(col("qid").as("aqid"), col("id").as("aid"))
+      exact.join(approx, col("qid") === col("aqid") && col("id") === col("aid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("aid")).as("n_overlap"))
+    }),
+    "q_graph_cc" -> ((s, d) =>
+      GraphOps.connectedComponents(graphEdges(s), col("src"), col("dst"))
+        .select(col("vertex"), col("comp"))),
+    "q_graph_sssp" -> ((s, d) =>
+      GraphOps.shortestPaths(graphEdges(s), col("src"), col("dst"), col("w"), 0L)
+        .select(col("vertex"), col("dist").cast("long").as("dist_i"))),
+
     // ---------------- streaming-ish incremental (events) ----------------
     "q_sessionize" -> ((s, d) => {
       // gap-based sessionization (30 min) via window functions — the batch
@@ -508,6 +671,7 @@ object SparkEntry {
       |    max(CASE WHEN n.x = c.x   AND n.y = c.y-1 THEN n.z END) AS w1,
       |    max(CASE WHEN n.x = c.x+1 AND n.y = c.y-1 THEN n.z END) AS w2,
       |    max(CASE WHEN n.x = c.x-1 AND n.y = c.y   THEN n.z END) AS w3,
+      |    max(CASE WHEN n.x = c.x   AND n.y = c.y   THEN n.z END) AS w4,
       |    max(CASE WHEN n.x = c.x+1 AND n.y = c.y   THEN n.z END) AS w5,
       |    max(CASE WHEN n.x = c.x-1 AND n.y = c.y+1 THEN n.z END) AS w6,
       |    max(CASE WHEN n.x = c.x   AND n.y = c.y+1 THEN n.z END) AS w7,
@@ -516,7 +680,7 @@ object SparkEntry {
       |  WHERE c.x BETWEEN 1 AND 38 AND c.y BETWEEN 1 AND 28
       |  GROUP BY c.x, c.y),
       |calc AS (
-      |  SELECT x, y,
+      |  SELECT x, y, w0, w1, w2, w3, w4, w5, w6, w7, w8,
       |    ((w0 + w3 + w3 + w6) - (w2 + w5 + w5 + w8)) / 1.0 AS gx,
       |    ((w6 + w7 + w7 + w8) - (w0 + w1 + w1 + w2)) / (-1.0) AS gy
       |  FROM w)""".stripMargin
@@ -850,6 +1014,101 @@ object SparkEntry {
         |       WHEN h_pt = m THEN 'pt' ELSE 'ru' END AS lang_guess,
         |  lang AS lang_declared
         |FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_pt, h_ru) AS m FROM h)""".stripMargin,
-    "q_fingerprint" -> graft.fixtures.FingerprintOracle.valuesSql
+    "q_fingerprint" -> graft.fixtures.FingerprintOracle.valuesSql,
+    "q_aspect" ->
+      // atan2(dy, −dx) with dx = −gx, dy = −gy of the Horn CTE; azimuth
+      // remap; flat cells → −9999 (both subtrahends exactly zero)
+      s"""$demOracleCte
+        |SELECT x, y, round(CASE
+        |  WHEN gx = 0 AND gy = 0 THEN -9999.0
+        |  ELSE (CASE WHEN a0 > 90.0 THEN 450.0 - a0 ELSE 90.0 - a0 END)
+        |  END, 6) AS asp_r
+        |FROM (SELECT x, y, gx, gy, degrees(atan2(-gy, gx)) AS a0 FROM calc)""".stripMargin,
+    "q_tri" ->
+      s"""$demOracleCte
+        |SELECT x, y, round((abs(w0-w4) + abs(w1-w4) + abs(w2-w4) + abs(w3-w4)
+        |  + abs(w5-w4) + abs(w6-w4) + abs(w7-w4) + abs(w8-w4)) / 8.0, 6) AS tri_r
+        |FROM calc""".stripMargin,
+    "q_tpi" ->
+      s"""$demOracleCte
+        |SELECT x, y, round(w4 - (w0 + w1 + w2 + w3 + w5 + w6 + w7 + w8) / 8.0, 6) AS tpi_r
+        |FROM calc""".stripMargin,
+    "q_roughness" ->
+      s"""$demOracleCte
+        |SELECT x, y, round(greatest(w0,w1,w2,w3,w4,w5,w6,w7,w8)
+        |  - least(w0,w1,w2,w3,w4,w5,w6,w7,w8), 6) AS rgh_r
+        |FROM calc""".stripMargin,
+    "q_color_relief" ->
+      // LUT (0→blue, 11→green, 22→red), linear interpolation with the
+      // 0.45 rounding bias (exact z=0/11/22 entries coincide with the
+      // ratio-0/1 interpolation, so one CASE per channel suffices)
+      """WITH g AS (
+        |  SELECT (i % 40) AS x, (i // 40) AS y,
+        |         CAST(((i % 40) * 31 + (i // 40) * 17) % 23 AS DOUBLE) AS z
+        |  FROM (SELECT unnest(generate_series(0, 1199)) AS i))
+        |SELECT x, y,
+        |  CASE WHEN z <= 11 THEN 0
+        |       ELSE CAST(trunc(0.45 + 0 + ((z - 11.0) / 11.0) * 255.0) AS INT) END AS r,
+        |  CASE WHEN z <= 11 THEN CAST(trunc(0.45 + 0 + (z / 11.0) * 255.0) AS INT)
+        |       ELSE CAST(trunc(0.45 + 255 + ((z - 11.0) / 11.0) * (-255.0)) AS INT) END AS g,
+        |  CASE WHEN z <= 11 THEN CAST(trunc(0.45 + 255 + (z / 11.0) * (-255.0)) AS INT)
+        |       ELSE 0 END AS b
+        |FROM g""".stripMargin,
+    "q_fillnodata" ->
+      """SELECT * FROM (VALUES
+        |  ('identity_checksum', CAST(4672 AS BIGINT)),
+        |  ('const_bad_pixels', CAST(0 AS BIGINT)))
+        |AS t(test_case, val)""".stripMargin,
+    "q_palette" ->
+      // reference color table (autotest/alg/dither.py) + dither checksum
+      """SELECT * FROM (VALUES
+        |  ('color_0', 36, 48, 32), ('color_1', 92, 120, 20),
+        |  ('color_2', 88, 96, 20), ('color_3', 92, 132, 56),
+        |  ('color_4', 0, 0, 0), ('color_5', 96, 152, 24),
+        |  ('color_6', 60, 112, 32), ('color_7', 164, 164, 108),
+        |  ('dither_checksum', 8803, 0, 0))
+        |AS t(item, a, b, c)""".stripMargin,
+    "q_pansharpen" ->
+      // weighted Brovey mirror: pseudo-pan = 0.25·ms1 + 0.75·ms2,
+      // out = ms · pan/pseudo-pan (same double op order as the kernel)
+      """WITH px AS (
+        |  SELECT s.s, i.i FROM (SELECT unnest(generate_series(0, 3)) AS s) s,
+        |                        (SELECT unnest(generate_series(0, 19)) AS i) i),
+        |v AS (
+        |  SELECT s, i, 50.0 + s + i AS pan, 10.0 + i AS ms1, 30.0 + i AS ms2 FROM px),
+        |f AS (
+        |  SELECT s, i, ms1, ms2, pan / (0.25 * ms1 + 0.75 * ms2) AS factor FROM v)
+        |SELECT s AS strip, 1 AS band, i AS px, round(ms1 * factor, 6) AS v_r FROM f
+        |UNION ALL
+        |SELECT s, 2, i, round(ms2 * factor, 6) FROM f""".stripMargin,
+    "q_contour" ->
+      // plateau fixture: one stitched ring per level; total geo length
+      // ring 10 ≈ 80-px square ring, ring 20 ≈ 40-px, at 1/160 px size
+      """SELECT * FROM (VALUES
+        |  (CAST(10.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(1.975 AS DOUBLE)),
+        |  (CAST(20.0 AS DOUBLE), CAST(1 AS BIGINT), CAST(0.975 AS DOUBLE)))
+        |AS t(level, n_chains, len_r)""".stripMargin,
+    "q_ann_lsh" ->
+      // deterministic recall of 6-bit hyperplane LSH with hamming-2
+      // multiprobe vs the exact top-5 (seed 42, 500×64d corpus)
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
+        |AS t(qid, n_overlap)""".stripMargin,
+    "q_graph_cc" ->
+      // closed form for the 10-group binary-tree forest
+      """SELECT CAST(i AS BIGINT) AS vertex, CAST((i // 50) * 50 AS BIGINT) AS comp
+        |FROM (SELECT unnest(generate_series(0, 499)) AS i)""".stripMargin,
+    "q_graph_sssp" ->
+      // tree SSSP from vertex 0: recursive descent terminates (forest)
+      """WITH RECURSIVE edges AS (
+        |  SELECT (i - i % 50 + (i % 50) // 2) AS src, i AS dst, (i % 13 + 1) AS w
+        |  FROM (SELECT unnest(generate_series(1, 499)) AS i) WHERE i % 50 <> 0),
+        |d(v, dist) AS (
+        |  SELECT 0, 0
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM d JOIN edges e ON e.src = d.v)
+        |SELECT CAST(v AS BIGINT) AS vertex, CAST(dist AS BIGINT) AS dist_i FROM d""".stripMargin
   )
 }

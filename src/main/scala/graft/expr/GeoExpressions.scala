@@ -125,7 +125,11 @@ case class StAsText(child: Expression)
   override def prettyName: String = "st_astext"
 }
 
-abstract class UnaryGeomDouble(fn: String) extends UnaryExpression {
+// explicitly Serializable: Spark's UnaryExpression is not itself
+// Serializable (leaf case classes synthesize it), so without this an
+// intermediate class breaks Java serialization of any plan that ships
+// these expressions inside an aggregate ("no valid constructor")
+abstract class UnaryGeomDouble(fn: String) extends UnaryExpression with Serializable {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

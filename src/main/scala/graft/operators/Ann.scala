@@ -93,15 +93,22 @@ object Ann {
     sigBits.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k with hamming-1 multiprobe. */
+  /** LSH-bucketed approximate top-k with hamming-≤`probeRadius` multiprobe
+    * (radius 1 = classic flip-one-bit probing; radius 2 trades ~bits²/2
+    * extra bucket probes for substantially higher recall).
+    */
   def lshTopK(corpus: DataFrame, id: Column, vec: Column,
               queries: DataFrame, qid: Column, qvec: Column,
-              k: Int, dim: Int, bits: Int = 12, seed: Long = 42L): DataFrame = {
+              k: Int, dim: Int, bits: Int = 12, seed: Long = 42L,
+              probeRadius: Int = 1): DataFrame = {
     val c = corpus.select(id.cast("long").as("id"), vec.as("__v"))
       .withColumn("__bucket", hyperplaneSig(col("__v"), dim, bits, seed))
-    val probes = (0 to bits).map { i =>
-      if (i == 0) lit(0L) else lit(1L << (i - 1))
-    }
+    val masks = Seq.newBuilder[Long]
+    masks += 0L
+    if (probeRadius >= 1) for (i <- 0 until bits) masks += (1L << i)
+    if (probeRadius >= 2)
+      for (i <- 0 until bits; j <- i + 1 until bits) masks += ((1L << i) | (1L << j))
+    val probes = masks.result().map(lit)
     val q = broadcast(
       queries.select(qid.cast("long").as("qid"), qvec.as("__qv"))
         .withColumn("__qsig", hyperplaneSig(col("__qv"), dim, bits, seed))

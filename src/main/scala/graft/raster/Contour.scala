@@ -1,6 +1,8 @@
 package graft.raster
 
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import graft.core.{GLine, GeoTransform}
+import graft.raster.Dem.DStrip
 import scala.collection.mutable
 
 /** Contour generation — iso-lines from a raster
@@ -89,6 +91,206 @@ object Contour {
         GLine(xy)
       }
     }.toMap
+  }
+
+  // ------------------------------------------------------------------
+  // Distributed path: marching squares per strip (one halo row below),
+  // per-strip stitching, then cross-strip chain merge. A strip owns cell
+  // rows [yOff, yOff+height-1] (cell row cy reads pixel rows cy, cy+1 —
+  // the last one via the halo), so every cell row of the raster is
+  // computed by exactly one strip. Crossing coordinates on a shared cell
+  // edge are bit-identical in both neighbor strips (same inputs, same
+  // arithmetic), so chains merge by exact endpoint equality — the driver
+  // sees only boundary endpoints (O(strips·width·levels)), the same
+  // classic layout as [[RasterStrips.polygonize]] Phase B.
+  // ------------------------------------------------------------------
+
+  /** One stitched per-strip chain (pixel-center coords, global y). */
+  final case class StripChain(level: Double, stripIdx: Int, localIdx: Int,
+                              xy: Array[Double])
+
+  /** Marching squares over one strip's cell rows (with below-halo). */
+  private def stripSegments(vals: Array[Double], w: Int, stripH: Int, yOff: Int,
+                            below: Array[Double], h: Int, level: Double,
+                            fudgeAmt: Double): Seq[(Double, Double, Double, Double)] = {
+    @inline def raw(y: Int, x: Int): Double =
+      if (y == stripH) below(x) else vals(y * w + x)
+    @inline def v(y: Int, x: Int): Double = {
+      val r = raw(y, x)
+      if (r == level) r + fudgeAmt else r
+    }
+    val segs = mutable.ArrayBuffer[(Double, Double, Double, Double)]()
+    val lastCellRow = math.min(stripH - 1, h - 2 - yOff) // local cy range
+    var cy = 0
+    while (cy <= lastCellRow) {
+      if (cy == stripH - 1 && below == null) { cy += 1 }
+      else {
+        var cx = 0
+        while (cx < w - 1) {
+          val v00 = v(cy, cx); val v10 = v(cy, cx + 1)
+          val v01 = v(cy + 1, cx); val v11 = v(cy + 1, cx + 1)
+          var code = 0
+          if (v00 > level) code |= 1
+          if (v10 > level) code |= 2
+          if (v01 > level) code |= 4
+          if (v11 > level) code |= 8
+          if (code != 0 && code != 15) {
+            @inline def interp(va: Double, vb: Double): Double = (level - va) / (vb - va)
+            val gy = yOff + cy
+            def top = (cx + 0.5 + interp(v00, v10), gy + 0.5)
+            def bottom = (cx + 0.5 + interp(v01, v11), gy + 1.5)
+            def left = (cx + 0.5, gy + 0.5 + interp(v00, v01))
+            def right = (cx + 1.5, gy + 0.5 + interp(v10, v11))
+            def add(a: (Double, Double), b: (Double, Double)): Unit =
+              segs += ((a._1, a._2, b._1, b._2))
+            code match {
+              case 1 | 14 => add(left, top)
+              case 2 | 13 => add(top, right)
+              case 3 | 12 => add(left, right)
+              case 4 | 11 => add(bottom, left)
+              case 5 | 10 => add(top, bottom)
+              case 7 | 8  => add(right, bottom)
+              case 6 | 9  =>
+                val connectAbove = (v00 + v10 + v01 + v11) / 4 > level
+                if (code == 6) {
+                  if (connectAbove) { add(left, top); add(right, bottom) }
+                  else { add(top, right); add(bottom, left) }
+                } else {
+                  if (connectAbove) { add(top, right); add(left, bottom) }
+                  else { add(left, top); add(right, bottom) }
+                }
+              case _ =>
+            }
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+    }
+    segs.toSeq
+  }
+
+  /** Merge whole polylines sharing endpoints (cross-strip stitch). */
+  private[raster] def stitchChains(chains: Seq[Vector[(Double, Double)]]): Seq[Vector[(Double, Double)]] = {
+    type P = (Double, Double)
+    val acc = mutable.ArrayBuffer[Vector[P]]()
+    val byEnd = mutable.HashMap[P, Int]()
+    chains.foreach { c0 =>
+      var c = c0
+      var merged = true
+      while (merged) {
+        merged = false
+        val hIdx = byEnd.get(c.head)
+        val tIdx = byEnd.get(c.last)
+        val idx = hIdx.orElse(tIdx)
+        idx.filter(i => acc(i).nonEmpty) match {
+          case Some(i) =>
+            val other = acc(i)
+            byEnd.remove(other.head); byEnd.remove(other.last)
+            acc(i) = Vector.empty
+            c =
+              if (other.last == c.head) other ++ c.tail
+              else if (other.head == c.head) other.reverse ++ c.tail
+              else if (other.last == c.last) other ++ c.reverse.tail
+              else other.reverse ++ c.reverse.tail
+            merged = c.head != c.last // closed ring: stop
+          case None => merged = false
+        }
+      }
+      acc += c
+      if (c.head != c.last) {
+        byEnd(c.head) = acc.length - 1
+        byEnd(c.last) = acc.length - 1
+      }
+    }
+    acc.filter(_.nonEmpty).map(_.toVector).toSeq
+  }
+
+  /** Distributed contour over strips → DataFrame(level, wkb) of stitched
+    * LINESTRINGs in geo coordinates.
+    */
+  def contour(spark: SparkSession, strips: Dataset[DStrip], w: Int, h: Int,
+              gt: GeoTransform, levels: Seq[Double], interval: Double = 0.0): DataFrame = {
+    import spark.implicits._
+    val fudgeAmt = (if (interval > 0) interval else 1.0) * Fudge
+    val lvls = levels.toArray
+
+    // halo exchange: each strip's first row goes to the strip above
+    val withHalo = strips.flatMap { s =>
+      val parts = Seq.newBuilder[Dem.HaloPart]
+      parts += Dem.HaloPart(s.stripIdx, 0, s.stripIdx, s.yOff, s.height, s.vals)
+      if (s.stripIdx > 0)
+        parts += Dem.HaloPart(s.stripIdx - 1, 2, s.stripIdx, s.yOff, 1,
+          java.util.Arrays.copyOfRange(s.vals, 0, w))
+      parts.result()
+    }.groupByKey(_.dest)
+
+    // per-strip marching squares + local stitch
+    val chains: Dataset[StripChain] = withHalo.flatMapGroups { (_, it) =>
+      var strip: Dem.HaloPart = null
+      var below: Array[Double] = null
+      it.foreach { p => if (p.kind == 0) strip = p else if (p.kind == 2) below = p.vals }
+      if (strip == null) Iterator.empty
+      else lvls.iterator.flatMap { level =>
+        val segs = stripSegments(strip.vals, w, strip.height, strip.yOff,
+          below, h, level, fudgeAmt)
+        stitch(segs).zipWithIndex.map { case (chain, i) =>
+          val xy = new Array[Double](chain.length * 2)
+          chain.zipWithIndex.foreach { case ((px, py), j) =>
+            xy(2 * j) = px; xy(2 * j + 1) = py
+          }
+          StripChain(level, strip.stripIdx, i, xy)
+        }
+      }
+    }.localCheckpoint(true) // reused for boundary collection AND final merge
+
+    // boundary endpoints → driver union-find over chain ids
+    val boundary = chains.flatMap { c =>
+      val n = c.xy.length / 2
+      Seq((c.xy(0), c.xy(1)), (c.xy(2 * (n - 1)), c.xy(2 * (n - 1) + 1)))
+        .filter { case (_, ey) => ey == math.floor(ey) + 0.5 } // on a row seam
+        .map { case (ex, ey) => (c.level, c.stripIdx, c.localIdx, ex, ey) }
+    }.collect()
+
+    val parent = mutable.HashMap[(Double, Int, Int), (Double, Int, Int)]()
+    def find(x: (Double, Int, Int)): (Double, Int, Int) = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    def union(a: (Double, Int, Int), b: (Double, Int, Int)): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(if (Ordering[(Double, Int, Int)].gt(ra, rb)) ra else rb) =
+        if (Ordering[(Double, Int, Int)].gt(ra, rb)) rb else ra
+    }
+    boundary.groupBy { case (level, _, _, ex, ey) => (level, ex, ey) }.values.foreach { grp =>
+      val ids = grp.map { case (level, si, li, _, _) => (level, si, li) }.distinct
+      ids.sliding(2).foreach { pair => if (pair.length == 2) union(pair(0), pair(1)) }
+    }
+    val rootOf: Map[(Double, Int, Int), (Double, Int, Int)] =
+      boundary.map { case (level, si, li, _, _) =>
+        val k = (level, si, li); k -> find(k)
+      }.toMap
+    val rootB = spark.sparkContext.broadcast(rootOf)
+    val gtB = spark.sparkContext.broadcast(gt)
+
+    // final merge per global chain id
+    chains.groupByKey { c =>
+      val k = (c.level, c.stripIdx, c.localIdx)
+      rootB.value.getOrElse(k, k)
+    }.flatMapGroups { (key, it) =>
+      val members = it.toSeq.map { c =>
+        (0 until c.xy.length / 2).map(j => (c.xy(2 * j), c.xy(2 * j + 1))).toVector
+      }
+      val g = gtB.value
+      stitchChains(members).iterator.map { merged =>
+        val xy = new Array[Double](merged.length * 2)
+        merged.zipWithIndex.foreach { case ((px, py), j) =>
+          xy(2 * j) = g.geoX(px, py); xy(2 * j + 1) = g.geoY(px, py)
+        }
+        (key._1, graft.core.Geom.toWkb(GLine(xy)))
+      }
+    }.toDF("level", "wkb")
   }
 
   /** Join segments sharing endpoints into maximal polylines. */

@@ -1,5 +1,7 @@
 package graft.raster
 
+import org.apache.spark.sql.{Dataset, SparkSession}
+
 /** Fill-nodata — interpolate masked-out pixels from the nearest valid
   * pixels in four quadrant directions, inverse-distance weighted. Faithful
   * port of `/root/reference/gdal/alg/rasterfill.cpp:388` GDALFillNodata:
@@ -10,9 +12,13 @@ package graft.raster
   * Smoothing iterations (GDALMultiFilter) are not ported (the reference
   * default is 0 iterations).
   *
-  * Distribution note: the column passes are per-column prefix scans — a
-  * strip variant carries per-column (lastY, lastValue) state across strip
-  * boundaries exactly like the polygonize boundary rows (O(width) halo).
+  * Distributed path ([[fillStrips]]): the reference's running column
+  * state is a pure function of the TRUE nearest valid pixel above/below
+  * (the distance invalidation is monotone), so each strip only needs the
+  * per-column (nearest-valid-row, value) of everything above and below
+  * it. Those are per-strip summaries (O(strips·width)), prefix/suffix
+  * combined — the quadrant search itself is row-local and embarrassingly
+  * parallel per strip.
   */
 object FillNodata {
 
@@ -123,5 +129,175 @@ object FillNodata {
       y -= 1
     }
     out
+  }
+
+  /** One strip of float pixels + validity mask. */
+  final case class FStrip(stripIdx: Int, yOff: Int, height: Int,
+                          vals: Array[Float], valid: Array[Boolean])
+
+  /** Per-strip per-column valid-pixel extremes: (row, value) of the first
+    * and last valid pixel in each column (-1 row = none).
+    */
+  final case class ColState(stripIdx: Int, firstY: Array[Int], firstV: Array[Float],
+                            lastY: Array[Int], lastV: Array[Float])
+
+  /** Distributed fill — exact result parity with [[fill]] on any strip
+    * layout (asserted by FillNodataSpec).
+    */
+  def fillStrips(spark: SparkSession, strips: Dataset[FStrip], w: Int, h: Int,
+                 maxSearchDist0: Double = 0.0): Dataset[FStrip] = {
+    import spark.implicits._
+    val maxSearchDist = if (maxSearchDist0 == 0.0) math.max(w, h) + 1.0 else maxSearchDist0
+    val nMaxSearchDist = math.floor(maxSearchDist).toInt
+
+    // Phase A: per-strip per-column summaries
+    val states = strips.map { s =>
+      val fy = Array.fill(w)(-1); val fv = new Array[Float](w)
+      val ly = Array.fill(w)(-1); val lv = new Array[Float](w)
+      var r = 0
+      while (r < s.height) {
+        var x = 0
+        while (x < w) {
+          if (s.valid(r * w + x)) {
+            val gy = s.yOff + r
+            if (fy(x) == -1) { fy(x) = gy; fv(x) = s.vals(r * w + x) }
+            ly(x) = gy; lv(x) = s.vals(r * w + x)
+          }
+          x += 1
+        }
+        r += 1
+      }
+      ColState(s.stripIdx, fy, fv, ly, lv)
+    }.collect().sortBy(_.stripIdx)
+
+    // Phase B: prefix (nearest valid above) / suffix (nearest valid below)
+    val nStrips = states.length
+    val aboveY = new Array[Array[Int]](nStrips)
+    val aboveV = new Array[Array[Float]](nStrips)
+    val belowY = new Array[Array[Int]](nStrips)
+    val belowV = new Array[Array[Float]](nStrips)
+    val runY = Array.fill(w)(-1); val runV = new Array[Float](w)
+    for (k <- 0 until nStrips) {
+      aboveY(k) = runY.clone(); aboveV(k) = runV.clone()
+      var x = 0
+      while (x < w) {
+        if (states(k).lastY(x) != -1) { runY(x) = states(k).lastY(x); runV(x) = states(k).lastV(x) }
+        x += 1
+      }
+    }
+    java.util.Arrays.fill(runY, -1)
+    for (k <- nStrips - 1 to 0 by -1) {
+      belowY(k) = runY.clone(); belowV(k) = runV.clone()
+      var x = 0
+      while (x < w) {
+        if (states(k).firstY(x) != -1) { runY(x) = states(k).firstY(x); runV(x) = states(k).firstV(x) }
+        x += 1
+      }
+    }
+    val incoming: Map[Int, (Array[Int], Array[Float], Array[Int], Array[Float])] =
+      (0 until nStrips).map(k => states(k).stripIdx ->
+        ((aboveY(k), aboveV(k), belowY(k), belowV(k)))).toMap
+    val incB = spark.sparkContext.broadcast(incoming)
+
+    // Phase C: per-strip materialization + quadrant interpolation
+    strips.map { s =>
+      val (inAY, inAV, inBY, inBV) = incB.value(s.stripIdx)
+      val hh = s.height
+      // true nearest valid at-or-above each row (unchecked distance)
+      val upY = new Array[Int](hh * w); val upV = new Array[Float](hh * w)
+      val curY = inAY.clone(); val curV = inAV.clone()
+      var r = 0
+      while (r < hh) {
+        var x = 0
+        while (x < w) {
+          if (s.valid(r * w + x)) { curY(x) = s.yOff + r; curV(x) = s.vals(r * w + x) }
+          upY(r * w + x) = curY(x); upV(r * w + x) = curV(x)
+          x += 1
+        }
+        r += 1
+      }
+      // true nearest valid at-or-below each row
+      val dnY = new Array[Int](hh * w); val dnV = new Array[Float](hh * w)
+      System.arraycopy(inBY, 0, curY, 0, w); System.arraycopy(inBV, 0, curV, 0, w)
+      r = hh - 1
+      while (r >= 0) {
+        var x = 0
+        while (x < w) {
+          if (s.valid(r * w + x)) { curY(x) = s.yOff + r; curV(x) = s.vals(r * w + x) }
+          dnY(r * w + x) = curY(x); dnV(r * w + x) = curV(x)
+          x += 1
+        }
+        r -= 1
+      }
+      // materialized reference state per row:
+      //   topDown(y)   = up, invalidated when y − upY > maxSearchDist
+      //   bottomRead(y) = nearest valid ≥ y+1, invalidated vs y+1
+      val out = s.vals.clone()
+      val tdY = new Array[Int](w); val tdV = new Array[Float](w)
+      val buY = new Array[Int](w); val buV = new Array[Float](w)
+      r = 0
+      while (r < hh) {
+        val gy = s.yOff + r
+        var x = 0
+        while (x < w) {
+          val uy = upY(r * w + x)
+          if (uy != -1 && gy - uy <= maxSearchDist) { tdY(x) = uy; tdV(x) = upV(r * w + x) }
+          else tdY(x) = NoDataY
+          val by0 = if (r + 1 < hh) dnY((r + 1) * w + x) else inBY(x)
+          val bv0 = if (r + 1 < hh) dnV((r + 1) * w + x) else inBV(x)
+          if (by0 != -1 && by0 - (gy + 1) <= maxSearchDist) { buY(x) = by0; buV(x) = bv0 }
+          else buY(x) = NoDataY
+          x += 1
+        }
+        x = 0
+        while (x < w) {
+          if (!s.valid(r * w + x)) {
+            val quadDist = Array.fill(4)(maxSearchDist + 1.0)
+            val quadValue = new Array[Double](4)
+            var thisMax = nMaxSearchDist
+            var step = 0
+            while (step < thisMax) {
+              val lx = math.max(0, x - step)
+              val rx = math.min(w - 1, x + step)
+              @inline def check(q: Int, tx: Int, ty: Int, tv: Float): Unit =
+                if (ty != NoDataY) {
+                  val dx = (tx - x).toDouble
+                  val dy = (ty - gy).toDouble
+                  val distSq = dx * dx + dy * dy
+                  if (distSq < quadDist(q) * quadDist(q)) {
+                    quadDist(q) = math.sqrt(distSq)
+                    quadValue(q) = tv
+                  }
+                }
+              check(0, lx, tdY(lx), tdV(lx))
+              check(1, lx, buY(lx), buV(lx))
+              if (step != 0) {
+                check(2, rx, tdY(rx), tdV(rx))
+                check(3, rx, buY(rx), buV(rx))
+                if ((step & 0x3) == 0)
+                  thisMax = math.floor(math.max(math.max(quadDist(0), quadDist(1)),
+                    math.max(quadDist(2), quadDist(3)))).toInt
+              }
+              step += 1
+            }
+            var weightSum = 0.0
+            var valueSum = 0.0
+            var q = 0
+            while (q < 4) {
+              if (quadDist(q) <= maxSearchDist) {
+                val wgt = 1.0 / quadDist(q)
+                weightSum += wgt
+                valueSum += quadValue(q) * wgt
+              }
+              q += 1
+            }
+            if (weightSum > 0.0) out(r * w + x) = (valueSum / weightSum).toFloat
+          }
+          x += 1
+        }
+        r += 1
+      }
+      s.copy(vals = out)
+    }
   }
 }

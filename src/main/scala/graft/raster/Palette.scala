@@ -31,25 +31,47 @@ object Palette {
                 nColors: Int): Array[Color] = {
     val n = red.length
     val hist = new Array[Int](CLevels * CLevels * CLevels)
+    var i = 0
+    while (i < n) {
+      hist(hidx(red(i) >> Shift, green(i) >> Shift, blue(i) >> Shift)) += 1
+      i += 1
+    }
+    medianCutFromHist(hist, n.toLong, nColors)
+  }
+
+  /** Median-cut over a prebuilt 5-bit histogram — the distributed entry:
+    * the histogram is the only global state the algorithm needs, so
+    * executors aggregate partial histograms and the ≤2^15-box splitting
+    * runs wherever (it is O(colors·cube) regardless of raster size). The
+    * first box's bounds derive from the non-empty bins (identical to the
+    * per-pixel min/max scan).
+    */
+  def medianCutFromHist(hist: Array[Int], total: Long, nColors: Int): Array[Color] = {
     val used = new scala.collection.mutable.ListBuffer[Box]
     val first = new Box
-    first.total = n.toLong
+    first.total = total
     used.prepend(first)
     var freeCount = nColors - 1
 
-    var i = 0
-    while (i < n) {
-      val r = red(i) >> Shift
-      val g = green(i) >> Shift
-      val b = blue(i) >> Shift
-      if (r < first.rmin) first.rmin = r
-      if (g < first.gmin) first.gmin = g
-      if (b < first.bmin) first.bmin = b
-      if (r > first.rmax) first.rmax = r
-      if (g > first.gmax) first.gmax = g
-      if (b > first.bmax) first.bmax = b
-      hist(hidx(r, g, b)) += 1
-      i += 1
+    var r = 0
+    while (r < CLevels) {
+      var g = 0
+      while (g < CLevels) {
+        var b = 0
+        while (b < CLevels) {
+          if (hist(hidx(r, g, b)) != 0) {
+            if (r < first.rmin) first.rmin = r
+            if (g < first.gmin) first.gmin = g
+            if (b < first.bmin) first.bmin = b
+            if (r > first.rmax) first.rmax = r
+            if (g > first.gmax) first.gmax = g
+            if (b > first.bmax) first.bmax = b
+          }
+          b += 1
+        }
+        g += 1
+      }
+      r += 1
     }
 
     def largest: Box = {
@@ -203,8 +225,82 @@ object Palette {
     * weights: 1/6 up-left-carry scheme over a single error line).
     */
   def dither(red: Array[Int], green: Array[Int], blue: Array[Int],
-             w: Int, h: Int, pct: Array[Color]): Array[Int] = {
-    // 5-bit nearest-color cube (the pabyColorMap path)
+             w: Int, h: Int, pct: Array[Color]): Array[Int] =
+    ditherChunk(red, green, blue, w, h, pct, buildColorMap(pct),
+      new Array[Int]((w + 2) * 3))
+
+  // ------------------------------------------------------------------
+  // Distributed entry points
+  // ------------------------------------------------------------------
+
+  /** One strip of 8-bit RGB planes. */
+  final case class RGBStrip(stripIdx: Int, yOff: Int, height: Int,
+                            r: Array[Int], g: Array[Int], b: Array[Int])
+
+  /** Distributed median-cut: per-partition partial 32³ histograms reduced
+    * to one (2^15 ints — tiny), box splitting on the driver. The only
+    * full-raster pass is the embarrassingly-parallel histogram.
+    */
+  def medianCutStrips(strips: org.apache.spark.sql.Dataset[RGBStrip],
+                      nColors: Int): Array[Color] = {
+    import strips.sparkSession.implicits._
+    val agg = strips.mapPartitions { it =>
+      val hist = new Array[Int](CLevels * CLevels * CLevels)
+      var total = 0L
+      it.foreach { s =>
+        var i = 0
+        val n = s.r.length
+        while (i < n) {
+          hist(hidx(s.r(i) >> Shift, s.g(i) >> Shift, s.b(i) >> Shift)) += 1
+          i += 1
+        }
+        total += n
+      }
+      if (total == 0L) Iterator.empty else Iterator.single((hist, total))
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    medianCutFromHist(agg._1, agg._2, nColors)
+  }
+
+  /** Floyd-Steinberg dithering is a strict scanline recurrence: every row's
+    * output depends on the previous row's error line, so the scan itself
+    * cannot fan out (true of the reference too — GDALDitherRGB2PCT is one
+    * sequential pass). This entry streams strips through the driver IN
+    * ORDER carrying only the O(width) error line and yields dithered strips
+    * one at a time — memory stays O(strip), and the expensive global stages
+    * (histogram, color table, the 32³ nearest-color map) are distributed/
+    * precomputed. Returns an iterator so callers can stream results to a
+    * sink without materializing the raster.
+    */
+  def ditherStripsStreamed(strips: org.apache.spark.sql.Dataset[RGBStrip],
+                           pct: Array[Color]): Iterator[(Int, Int, Array[Int])] = {
+    val colorMap = buildColorMap(pct)
+    val ordered = strips.orderBy(org.apache.spark.sql.functions.col("stripIdx"))
+    var errLine: Array[Int] = null
+    ordered.toLocalIterator().asScala.map { s =>
+      val w = s.r.length / s.height
+      if (errLine == null) errLine = new Array[Int]((w + 2) * 3)
+      val out = ditherChunk(s.r, s.g, s.b, w, s.height, pct, colorMap, errLine)
+      (s.stripIdx, s.yOff, out)
+    }
+  }
+
+  private def asScalaHelper[T](it: java.util.Iterator[T]): Iterator[T] =
+    new Iterator[T] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): T = it.next()
+    }
+  private implicit class JIter[T](val it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = asScalaHelper(it)
+  }
+
+  /** The 5-bit nearest-color cube (pabyColorMap path), shared by the
+    * local and streamed dither.
+    */
+  private[raster] def buildColorMap(pct: Array[Color]): Array[Int] = {
     val colorMap = new Array[Int](CLevels * CLevels * CLevels)
     var ib = 0
     while (ib < CLevels) {
@@ -221,9 +317,16 @@ object Palette {
       }
       ib += 1
     }
+    colorMap
+  }
 
+  /** Dither a chunk of rows, mutating `err` (the carried error line) so
+    * consecutive chunks chain exactly like one continuous scan.
+    */
+  private[raster] def ditherChunk(red: Array[Int], green: Array[Int], blue: Array[Int],
+                                  w: Int, h: Int, pct: Array[Color],
+                                  colorMap: Array[Int], err: Array[Int]): Array[Int] = {
     val out = new Array[Int](w * h)
-    val err = new Array[Int]((w + 2) * 3)
     val lineR = new Array[Int](w)
     val lineG = new Array[Int](w)
     val lineB = new Array[Int](w)

@@ -10,7 +10,7 @@ import graft.raster.{Checksum, FillNodata}
   */
 class FillNodataSpec extends AnyFunSuite {
   private val W = 20; private val H = 20
-  private val byteTif: Array[Int] = Array(107,123,132,115,132,132,140,132,132,132,107,132,107,132,132,107,123,115,156,148,115,132,107,123,148,115,165,115,140,107,123,123,99,132,123,132,132,132,99,156,115,132,140,132,123,115,140,107,140,115,132,123,107,132,132,115,115,107,115,107,148,132,123,123,115,132,132,123,115,123,115,123,107,115,148,107,115,140,115,132,132,156,132,140,132,132,115,115,115,123,148,123,165,123,132,107,107,132,156,123,189,173,173,148,148,115,148,123,107,132,115,132,156,99,123,115,132,132,206,107,197,173,148,140,140,132,99,132,123,115,140,132,132,99,132,123,132,173,123,115,148,123,148,115,148,123,140,123,107,115,132,115,107,115,99,123,99,181,99,107,123,115,132,115,123,132,115,132,132,123,123,132,99,115,99,123,132,115,115,107,140,140,99,140,99,115,123,107,132,107,115,107,115,123,132,123,107,123,132,132,132,132,132,123,99,132,123,107,148,99,115,123,140,173,123,107,123,123,123,107,123,123,123,107,140,123,123,115,115,90,107,173,107,107,107,107,99,132,123,115,173,148,99,123,123,107,123,99,107,189,173,107,115,115,107,99,140,107,173,140,148,132,132,107,123,99,99,115,99,132,99,140,115,148,123,99,132,123,148,140,140,107,140,90,107,115,107,90,99,123,115,115,115,123,123,148,115,148,99,132,165,148,156,123,107,107,107,115,140,99,115,99,99,107,115,132,115,90,123,115,189,173,140,140,165,115,132,90,99,115,90,99,99,107,99,132,99,107,132,132,156,181,140,173,123,132,99,115,123,74,115,99,123,140,156,132,165,140,140,99,173,247,255,206,132,107,140,123,148,132,165,165,148,140,132,123,107,123,107,123,181,181,156,148,156,156,156,181,132,148,115,132,107,107,107,107,107,115,99,107)
+  private val byteTif: Array[Int] = graft.fixtures.RasterFixtures.byteTif
 
   test("byte.tif is checksum 4672 and identity-fills with no nodata") {
     assert(Checksum.finish(Checksum.partialInt(byteTif, 0, byteTif.length, 0L)) === 4672)
@@ -46,5 +46,29 @@ class FillNodataSpec extends AnyFunSuite {
     vals(55) = -99.0f
     val filled = FillNodata.fill(vals, valid, 10, 10, maxSearchDist0 = 2.0)
     assert(filled(55) === -99.0f) // nearest valid is ~7 px away
+  }
+
+  test("distributed fillStrips equals the local port bit-for-bit") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val w = 23; val h = 31
+    // deterministic pseudo-random field + mask (mix of holes and runs)
+    val vals = Array.tabulate(w * h)(i => ((i * 2654435761L >>> 16) % 199).toFloat)
+    val valid = Array.tabulate(w * h) { i =>
+      val r = (i * 0x9e3779b97f4a7c15L >>> 32) & 0xff
+      r > 80 // ~30% holes
+    }
+    for (maxDist <- Seq(0.0, 3.0); stripH <- Seq(4, 11, 31)) {
+      val local = FillNodata.fill(vals.clone(), valid, w, h, maxDist)
+      val strips = (0 until h by stripH).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(stripH, h - y0)
+        FillNodata.FStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * w, (y0 + hh) * w),
+          java.util.Arrays.copyOfRange(valid, y0 * w, (y0 + hh) * w))
+      }.toDS()
+      val dist = FillNodata.fillStrips(spark, strips, w, h, maxDist)
+        .collect().sortBy(_.yOff).flatMap(_.vals)
+      assert(dist.toSeq === local.toSeq, s"stripH=$stripH maxDist=$maxDist")
+    }
   }
 }

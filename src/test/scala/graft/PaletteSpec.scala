@@ -8,12 +8,9 @@ import graft.raster.{Checksum, Palette}
   * matching the reference entries, dithered band checksum 8803.
   */
 class PaletteSpec extends AnyFunSuite {
-  private def plane(b64: String): Array[Int] =
-    java.util.Base64.getDecoder.decode(b64).map(_ & 0xff)
-
-  private val red = plane("AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEDGFB4ZmJmSk1vbEdQUk5UWVwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABASVqeWJjY2JSUlpsWF5OUmheWgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABARtedHNgWVJeWlRaVVdTUFxXX2BRAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAADERvfWthfF1ZV1dfY1NWVFNUM01PTlMAAAAAAQEBAQAAAAAAAAAAAAAAAAAAAAEAAABIh3NkZWlmZlJlWmBaXVRYU1ZMUlBXVwAAAAABAQEBAAAAAAAAAAAAAAAAAAAAAAAARW1paGJrcV1aZ0dDW09VVVREWlRAS1RQAAAAAAEBAAAAAAAAAAAAAAAAAAABAAAAAAaFZ3NpbF5vZFR1amZdVF1cWk1aU01NS1UAAAAAAQEAAAAAAAAAAAAAAAAAAAAAAAAALnBvbmdgbGNUTVZUfFxRU05IU1lOXFdKVQAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABIbmhxY1laYVNgR0hgXFJaU1dIVE1SWElVAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAFUVGRNT0xNV2pNYldvQVhiZ0pTVk9YVlEAAAAAAQEAAAAAAAAAAAAAAAAAAAEBAAAAB1VYbF1cVFddY2ZZXFJNVVNVYlZWUltNUAAAAAABAQAAAAAAAAAAAAAAAAAAAAAAABdkW1JeWk5cUkNVV1FPUVNZTFJOUFVaVkxNAAAAAAAAAAAAAAAAAAABAAAHBwAAAAAAVGVaSldYSVdRVlZXW1RbXlpcWlhgW1FaU0kAAAAAAAAAAAAAAQAAExUtWFpSEBQAJUpHVEtWT1BRWVhZV1hVV2t+xnRVYU5PPVpOVQAAAAAAAAAAAAAAAAA6TltVa1hWST5ZT1RcQlJFRlJaXFVcZGB0h7qGdj1OWV5NVlZcAAAAAAAAAAAAAAAAAD9ISmZYWUtXU1BdSlxOTWBQW1pbWlZuW1VSgHRUVU9GWVNWTlQAAAAAAQEAAAAAAAAAVFlIVU9STlRLVFVSU1lUW2NkXVxFVkZKVTxLWl5ZWFtZXEVDQAAAAAABAQAAAAAABzZgXm9SRktDWU89SFRLVlpjWlxdWFVyfGxpUFxYSVBJSUhSTUxHAAAAAAAAAQEAABdra2FfXHtbRjZIW1RUYGxHSlhdan6GalJkgmFZVldWTkdKR0BfSEoAAAAAAAABAQAAFHVdWFpbY1xfW0VYYnFkZllZZWt2uojBbEphVlBRTllVVFRbLFFRSgAAAAAAAAAAAAAAN2ZaWmFtSE9kZFh2ZWpLW1NOVKTYwrl/YFpVTE1MSkhFTVk6SFVfAAAAAAAAAAAAAAAABkdDY2ZsZld9jmtRWWBjcl99nsq4jmROTkxMUFlWYT1UVVRVSD8AAAAAAAAAAAAAAAAAVWBTWFhYb1mPfoRqbFZbOVXW0Ix0VUlBSFNYW1JPXTxcW1NHQgAAAAAAAAAAAAAAAC9faFxUU21vYm99Z2hIPD0sMm10XVBQVFxQLFBMUVJTXkdQS1JGAAAAAAAAAAAAAAAEYGV9c2lqYm90hYpUTVpORDwuNVNcVFNaXWEnP1xUWU1hO0tGNj4AAAAAAAAAAAAAAB6Li4GOfHBWepKQp3ZMWVRMWlRPVVxaSFJaYEpMc1NYbY1VWHNWTgAAAAAAAAAAAAAAAWuOlZeAkWFMR3KVkm1mVU1XXV9bYmJnQGRYMTpYfGJuXkY/b3JTAAAAAAAAAAAAAAAljnGPg4piY0w+X1NySEpXYmhdXlhATUI/WFxuLjZSZWRFMipWb1wAAAAAAAAAAAAAAWx4SFdHZ4BxZF88TWddUUFYVkpVWlFmVD5gSFRPQEFuWV1bVVlxpwAAAAAAAAAAAAABXnluTGpyipJiaWZoXlNTUlNYUlRkUUlYQGxoSkthWm9VT0ZWNkZlAAAAAAAAAAABAQajmpV6gXFfZGRPTE5RS01NUU9QVlBTWk9LVlZeRVVhb0s8SD5CYnYAAAAAAAAAAAABCp6knIJuaVByYE9Oa2ZQTVlbWFJ0dW9haV9aY2dfaHN/aVRYOj9TUgAAAAAAAAAAAgASeHZ5hXNpU1peZ1d+allSYHM9MUZocmd1fnx7eW52e4WCdWpcMGdpAAABAAAAAAEDMEGEcHJtbWpdW1BsTK24lX6kV2hIUzNub3N+soV4bpV6i4mEfHxqcnMAAAAAAAAAAU2JcnFfbHF8a2haX1EvSWNwZF9Ma2JQMkVkXWOIVjxKR1dld395f3BlWgAAAAEAAAABXY+KjWVrZGN0gWNZTEVOTkBXUy4vU2A9MDEkT2xiN1BDSUNOg394b2k5AAAAAAAAAAEein+SjGpmanKBVFpbcIN3gG5bY0pCT19LPytUUWplbHBxcWFecXRlKhkAAAEAAAAAAQZ6hod/fXZbcnNeXEtPTU55b312cGVcXWhKSElWXkJSYHd4e3ZobCkbEwAAAAAAAAAqan5feHJ6bGtVZUNGPltIT1SHel5xdGdfY2ReSkxRXFNNV2F6dnJtNhQRAAAAAAAAACKCkH9ubmhjVklTU09Pb2ZWM1ZSSFRCPF9oaGlvbnB1a2p2YF1TTFYjEA8AAAAAAAEBL5F/eWlgZmZnc2JaVzQ4Xn9ifWlqdHFYN2FraG9pcG9qc3p9elkmGBMTEgAAAAAAAABLk4pwVkhXV0llXF1uXzErQ1lqcIx3aW9NPGBraWthcm5wcHRuOB4VExQRAAAAAAAAA1NScV1dVk1QVU9mS2V5alBPdkJQi2JVZGJUR0GWZ2NsZXJrX1xCFxUUFRMAAAAAAAAyW0hpTFhGRj5BY3M7M0teVkdkUzxPXWBCUHFROVdWYVx3e2xnKBcTEBASEAAAAAEBAFFaN2BTVF5kaTs7XFFDNC8vXC49X15qZD5PYypHTVRuVVZvdm1SHRwQDw8QAAAAAAEIcGplb2p4VF1WSGtycXB7eHxXbW9qcWl8gHh4cHRPdm52VWhoZDcfExMOEhMAAAAAAAAAAG9mS25fX2BoaoV1Y4B0ZV9lYG1zcHRxV294fnVogoltbmZBHBUTEhATFwAAAQAAAAAIZ11UWW2CiXNIVYZsdnx/eGpvaXiCf4hycIN+i36KiG1sZyYVERQUEisiAAAAAAAAAABDeXt1u3yhZ2RBfXE+TmJtcnWQg3eHZ310cYGFhouAcWthGhIRFRMSFhUAAAAAAAAAR8C1b4lob3N7kn1dTjhIUnSFbJJncXlpQlBLQFNeen15c2gfExQTDwwPDg==")
-  private val green = plane("AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABGVeCc3eAaW6QiGNscnB8ipIAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAQICAyZuhXR2e4B3eoKRe4FwdpGNiwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAECBB1mf4R2c258e3d/enx4coB+iIx9AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAECEEt4hnl0lHd3eHqChnZ5eXh4V3R4d3wAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEAAgZUl4Z2fIKEg3CIf4V/gnl7eH1zeXmAgwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAADTHyAgnuGjnx5iWpog3d9enlpgn1ncn15AAAAAAAAAAAAAAAAAAAAAAAAAAABAAAAAgqKdI6JinuMg3OXjouCfIWEf3SDfXR0cnwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACNXuCjIp/i4J2b3h4oYF2e3hwe4J4hH9xfAAAAAAAAAAAAAAAAAAAAAABAQAAAAAAAQJShIWThXx9hniDaGqDf3eCfX9wfHV6gHB5AAAAAAAAAAAAAAAAAAAAAAEBAAAAAAABAxBwd4dwdHN0f41wg3iQZH2Kj3J4fnd/enUAAAAAAAAAAAAAAQEAAAAAAAAAAAAAAAIFF3F7j4KGfXyCiYx8fXNueHh6in19d39xdAAAAAAAAAAAAAAAAAAAAAECAgIBAAABBCZ5enWDf3iEd2Z7fXRwcnB2bXdzdHl9enNxAAAAAAAAAAAAAAAAAAEAAggSDwQCAgQNbIR8b3p8bnx0eXp7fnV8fHV5fXuAe3N+em0AAAAAAAAAAAAAAAABFxg3aG1kHx4HNWJoeG95cXJ0fHt8enlzc4aW3o92gm5vX351eQAAAAAAAAAAAAAAAQRFXnFviHRwYlh3cHiAZXRlY3B4fnd+gnmIlsmajlpwe4JxenqAAAAAAAAAAAAAAAACBU9hZ4R5emx3dXSBbn9xb4FueXh8e3SHb2Ndj4pxdXFqfnd6cHYAAAAAAAAAAAAAAAMIZ3RmcmxvbnRtdHVzdnx3foSGf39ibFZVY1Fne4N+fYB8f2diXwAAAAAAAAAAAAEDEEd6f5BwY2hjeW9aZHJpd32GfX57dXCGjHp8bICAcXhwbmt0b2hjAAAAAAAAAAAAAiF9hoKEgp15Y1Zld21ueIZla3t+hpWafmZ6m398fX9/dW5ua2OBaWkAAAAAAAAAAAADHol6fYKEiH6AeF5weol8gHd2goaHxpPRgmeEe3V4doB8e3h/T3RyaQAAAAAAAAAAAAIFRoF+goqWcXOBeGqKfYdsfHBlY6rZyciag4J8cHFwbmxpdIBhbnZ7AAAAAAAAAAAAAAIGHWdojJGViHKSoX5oeIGEjXGGnsrBooV1dXNwcn16iGR9fnt5aVsAAAAAAAAAAAAAAAQLc4V8fnx2inSnkZeFjXZ1Sl7X1Z+Rd3BobHZ8f3l5iWiFf3VmXgAAAAAAAAAAAAAABEF6jIN4dYuKfYeNeoJpXFlAQHmFenV3e4N3T3NweYGDjHB0a3FlAAAAAAAAAAAAAAENdICel4+PhYqIlJlnaXxwZVVHT3KDfnyEiopIX4B+ioCNYm9oV18AAAAAAAAAAAAAAiWYoZyuoJV2lKSctYlne3hwe3ZzfoiHcXyJjW1sl3+Oo7l7e5Z5dAAAAAAAAAEBAAABBXGYpKucsXtjXIKjpYaGeXR+hYmIjIqOaZOHV11+qJunimxhkpl8AAAAAAAAAQEAAQIoknqdlqSAfWVWdmaIY2p7ipKHi4VocWZoiY2XVF6An51zWkx5l4UAAAAAAAAAAAABA3ODWW1hhZ6Pg4BdaYN/dWiBfnSChnWIeGqUfoR8bnGjj42IfX+X0wAAAAAAAAAAAAIEZYWAYoSQq7WGjYuLgXd6e3x/e4GReHB/bqKhfn6Ui6GGf3N+XGmOAAAAAAAAAAABAgioo6GJlY+Ei4p0cHV4b3R2enZ4hYKEiX58j4+Ue4yWnXVoc2FihJsAAAAAAAAAAAACDaayrZSGiXabinZ1j4pycH1/fHaepaSYm5GPmp6Zo6mrkHx/XWB1eAAAAAAAAAAAAQMci5Wep5eQfoeLkX6dhnVxf5JcUGePp5+or6ussamxsrGnmY6DWY+PAAABAAAAAAACMUualZ6ZmJSIiH2VcMjRrpm+c4dncVadoaGp3bStpcutt7CpoaWUmpgAAAAAAAAAAkuJdn9/l52ok4+FiXNOZ36JfXhojoVzVWiHfoWyg2p4c4STpqqhpJOEeQAAAAEAAAACXJCNmn6Ojo2YpYmAbmRsbF52dFJYf4hjU1FCb5iSZXxsdXR/sKeYjIRVAAAAAAAAAAIhkYmgm3+GjpOieH5/kZ+WqJyLk3tzgo94alF8gqCboKKkp5KFkYp8RzkAAAEAAAAABA6Gl5mOkZR+kpOBgG9xaWqhna2ooZaSk559dXeKlHeHkaipqp2JhUI3MgAAAAAAAAExd5N5lI6Wj494h2VnYHpiaW6mnoWaoZiVn6CSenyBioF2fYWen5uTVzIuAAAAAAABAiiUqaCTk42JfG13d3FxjoJyTXV2cX5xbZWmpqOloaKmmpCYgHx3dX9JMC0AAAAAAAICNp+Zn5iOk5ORnYyEf1dZgKOKp5mfqqiMbZqnp7Gor6yin5+clnVEPDcxMAAAAAAAAQRUpaWXhneEg3KNgYWWhldPaoOXnb6uo6OBcJamp62ltKyknJmQVDs2NTIvAAAAAAADD2drkIWHf3RydWuCZYWjlnRwlWFvrpGJmJaDdW3GoKGrpLCjk4hmNzUyMSwAAAAAAANEd2qQdoJvbWBggpJXVXiNfWqFdFtyipJzf5t4XH+FlpKvtqieWD80LiwrJwAAAAEABWV7YZGCg42TkmRniYByYVxeilxrkJCblW56hk1rdH2Xe3+fqJ+AQTkpKCYnAAAAAAAMgYmUo56siZGFd5ympqKppq6Lo6inr6Cur6Ockpl1m5GWeZSZlGJALywnKScAAAAAAAEFE5qbf6OUlJWanLenk6+jlpWhorG2r6yjh5yjpJmJoaqUoZpsPzYyLywsLAAAAQAAAAEVioqBhpyxu6V1f7CWoaiurqexrLjBuLykoLCmsJ6qqJSfmkw2MzMxLkM2AAAAAAAAAgdZl5mT2p/NlIhin5RidpKjqrDLu667mq+loq2spaqflpaMPzUzNDArKicAAAAAAAACT9LMh6B+ipyls5h7bVhvgqq9pMidoqqbdIJ7bnp/mZycmZFDNzYzLCUjIA==")
-  private val blue = plane("AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACRDLSw2HR8/PRgfHxkcHyIAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAQ7PSIkJSgaGSExHScZHDEnIAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAtOjQjHBckIhsiGx0bGygjKisbAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACJDRSwbNhwfHyAmKhodHBseABkaGR4AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEAAAAiUDQkJCYkJxYuIiYgJRwfGyAWIB0iIgAAAAAAAAAAAAAAAAAAAAAAAAAAAgIAAAAAIDcmIR8pMR4cKw4LIxcdHRwMIh0MFx8ZAAAAAAAAAAAAAAAAAAAAAAICAAABAAAAAABSJC8kKh4vJRY5LisjHCUkIhcjGxcXFR8AAAAAAAAAAAAAAAAAAAAAAgIAAAAAAAAAFjkpLCYhLiQXERoYQSIXGhYQGyIWJB8WIQAAAAAAAAICAAAAAAAAAAAAAAAAAAAAAAAvPCk0JiAhJxknDQwlIxghGx8QHBUaIBUfAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAlGSkSFxYXHy8SKB03CB4pLxIZHhciIB0AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACYfMSIkHR8jJikeJBwXHhsbKiAgGiUXHAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA+KhkkIBYjGggYGhYXGxwiFhoWGh8jIhoZAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAALjQlEiAiER0WGxobIhojJiQlIx8rJh0mIRUAAAAAAAAAAAAAAAAACQMUNzY0AAMADigZHhUfGhsaIB0eHB4bHzVIkkAfKRkaCSYaIQAAAAAAAAAAAAAAAAAlLTAlOCcpIRctHyAmCx0QDxgeIBkgKihAVYhSQAgZJCgXICAmAAAAAAAAAAAAAAAAACIdEy4gIRUkHxwnFCUXGCoYIR4hIBw2KCUhTj8fIBoQIR0gGR8AAAAAAAAAAAAAAAAALycQHhodGR8XISAcHCAbIikoISMOIRUbKAwaJCYhICMgJRESEQAAAAAAAAAAAAAAABExKDUaDxYQJBoGEBwRHCEoHyAjISNBTT06HyggEBgTEREdGxsYAAAAAAAAAAAAAABDNyckHz4fDwMTIxkXIi8PEh8jMkdTOSExSikiIB8fGBMUEw8tGB0AAAAAAAAAAAAAAEwoHR8eIR0nJAscJDEkJyEiLjdDiFeSORUoHBgbFiMhIB4nACAhHQAAAAAAAAAAAAAAHz4nIiQsCRMnIRQzJSsRIx4dKHyvlYdJKSIfFhkWFBQRFyMIGSUxAAAAAAAAAAAAAAAAABsLJigtJxU3RyUOGyYrQDNXfKSMWy4YGBgZHCUgLQkfICAiGhEAAAAAAAAAAAAAAAAAKygWGxoWKxNHNz0oMiEsEzO1rF0/IBUNFCIlJxwXJwcnJyEaFAAAAAAAAAAAAAAAAA0tLBkUFCsrHCk1IScQCQ8FD0tOKhgcHiYcACEWGRsdKhQcGCMZAAAAAAICAAAAAAAALyM1KSImHysvQUgVFCUaFhEFCCQmHBwiIyoAEygcIRcuCRgUCBAAAAAAAgIAAAAAAAZSPzNBNCwVO1JQZjgWJSEZKiIbICYiERofKB0gPx0fNFokKUQlHwAAAAAAAAAAAAAAADFCR0g4UCQTETlUVDUzIRchJCUjKCozCykhAg0nRiYyKxkUQkAgAAAAAAAAAAAAAAALVSlGOkMgJhQKKBU1EhchKjAhIh4IFw4KHiI7AAUdJygRBAApPicAAAAAAAAAAAAAAEpBCRoIIzovJSUEFC4oHQ0jHhIbJB00IQslDCAdDAsxHScpJSpAcgAAAAAAAAAAAAAAMTkqDysuQ00iLS4xJx0fHx4kGxosGxckCzAsEBUrIDIZGRQmBxUuAAAAAAAAAAABAABmSj8uPC8dISUXFhgbFxsYHBsYGxMXHxYRHBoiCRciMA8HGhEWMDwAAAAAAAAAAAAAAF1QQzEmJhExJBkaNzIeHCUnJR48ODAhKiIdJSYeJS86JhsmCw8eFQAAAAACAgAAAAAAPC4sOSsmFR4kLyNPPColM0QQAhg0MyIvOjk3NCgwMjYzLywmACwoAAABAAICAAAADw5HLismJSYdHxg1GYGPalJ3KTsbJwI1MDQ9cUQ3LVM0Pjk4Nz8yOjsAAAAAAAAAACRNLCgcKyw1IyQcJx0CHztHOzQdOjEjBRQzLzFQHAcVEh8mMjQuOzU2NQAAAAEAAAAALEo8QCAoIh0qOyQjGhgkJBQoIwAAIC8OAQUAIzcsAx0OEwcMOzc3PE0sAAAAAAAAAAAATjNBQCIhJCg6GCQnQFVIRzAeJhAKGSkZEAAkGTAsMjEuLRwYMD9GKywAAAEAAAAAAAA8OzYxMjIYLTInKRcdHx1AMT85NisjJC8UFhUcIgUTHDIzNjMwQRgpNAAAAAAAAAAQMTYWLigyKS0cMBEWDCoZICRWRig6PC0jJSYjDQ8THRQOGCE6OT9KKCYyAAAAAAAAAAJCQTcpKSQiGRMfIBsdPjUnAyUeERoHAiMpJygtKy8xKik3Hx8gKUMkJS8AAAAAAAAADEosMCgiKiwrOyogHwMKKkkpQSsrMjEdACctJSslLColLDU0PzseIikvMgAAAAAAAAAlUTwqGA8fIRItIiQ2LQAADSEwNE82KjQVBCYuKCkeLCcoKS88KykvNDQxAAAAAAAAACoaMyIjIRscIh41GzJBNB0fRREjWikaKiodEg5iLSQoHysoJzlAKjA0NDEAAAAAAAASLRQzFCAREgoQMkQKABEjJBg0JQ8eJSMGFTkdCCYdIhoyNSw2Dh0rLi8wLQAAAAEAACYiACgYGSMtMgYFJBoKAAAAJwAIJR8oIgARKAATFxctFBUpNTw4JzctLS4vAAAAAAAASzkuNC89FyIdDy83NDM9Oj8cMzMmKiAzOzc4MTkSNCs1FSMuQCwtMDAsLy4AAAAAAAAAAD4pEDEgICMrK0Y4Iz0vIR0lHiYoIiUoEScwNS0eOUIpKzY2Jy80MzAwMQAAAQAAAAAAOiEYHTRHTDYMGUwwNjk6NCYrISw1Mz4rJjkzPzM/PScpPicvMjU1Mkc9AAAAAAAAAAAYPz87jE1rLzARS0AKFSIpLTJLPC8/JDwyLz4/PUI3LCo6IDEyNjQwMzMAAAAAAAAAOph+M1A+RT5DZFExIQwUFDBCKU4jLDUoAxMNAQ8WMTU0MkIpNTUyMCwuLg==")
+    private val red = graft.fixtures.RasterFixtures.rgbSmallRed
+  private val green = graft.fixtures.RasterFixtures.rgbSmallGreen
+  private val blue = graft.fixtures.RasterFixtures.rgbSmallBlue
 
   test("median cut produces the reference 8-color table") {
     val ct = Palette.medianCut(red, green, blue, 8)
@@ -27,5 +24,27 @@ class PaletteSpec extends AnyFunSuite {
     val ct = Palette.medianCut(red, green, blue, 8)
     val idx = Palette.dither(red, green, blue, 50, 50, ct)
     assert(Checksum.finish(Checksum.partialInt(idx, 0, idx.length, 0L)) === 8803)
+  }
+
+  test("distributed median-cut + streamed dither match the local goldens") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    for (stripH <- Seq(7, 17, 50)) {
+      val strips = (0 until 50 by stripH).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(stripH, 50 - y0)
+        Palette.RGBStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(red, y0 * 50, (y0 + hh) * 50),
+          java.util.Arrays.copyOfRange(green, y0 * 50, (y0 + hh) * 50),
+          java.util.Arrays.copyOfRange(blue, y0 * 50, (y0 + hh) * 50))
+      }.toDS()
+      val ct = Palette.medianCutStrips(strips, 8)
+      assert(ct.map(c => (c.r, c.g, c.b)).toSeq ===
+        Palette.medianCut(red, green, blue, 8).map(c => (c.r, c.g, c.b)).toSeq,
+        s"stripH=$stripH color table")
+      val idx = Palette.ditherStripsStreamed(strips, ct)
+        .toSeq.sortBy(_._2).flatMap(_._3).toArray
+      assert(Checksum.finish(Checksum.partialInt(idx, 0, idx.length, 0L)) === 8803,
+        s"stripH=$stripH dither checksum")
+    }
   }
 }
