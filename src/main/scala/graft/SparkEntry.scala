@@ -506,6 +506,69 @@ object SparkEntry {
             yield (x, st.yOff + y, st.vals(y * 8 + x))
         }.toDF("x", "y", "v")
     }),
+    "q_warp_cubic" -> ((s, d) => {
+      import s.implicits._
+      // src 12×14 closed-form grid; dst chosen fully interior for the 4×4
+      // cubic footprint so the SQL oracle needs no border fallback
+      val sw = 12; val sh = 14
+      val vals = Array.tabulate(sw * sh)(i => ((i % sw) * 31 + (i / sw) * 17) % 23 * 1.0)
+      val strips = (0 until sh by 4).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(4, sh - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * sw, (y0 + hh) * sw))
+      }.toDS()
+      graft.raster.Warp.warp(s, strips, sw, sh,
+          graft.core.GeoTransform.northUp(0, 14, 1, 1),
+          graft.raster.Warp.DstSpec(15, 17,
+            graft.core.GeoTransform.northUp(1.2, 12.4, 0.62, 0.62), stripHeight = 5),
+          kernel = graft.raster.Warp.Cubic, noData = -1.0)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until 15)
+            yield (x, st.yOff + y, st.vals(y * 15 + x))
+        }.toDF("x", "y", "v")
+        .select(col("x"), col("y"), round(col("v"), 6).as("v_r"))
+    }),
+    "q_warp_lanczos" -> ((s, d) => {
+      import s.implicits._
+      val sw = 16; val sh = 18
+      val vals = Array.tabulate(sw * sh)(i => ((i % sw) * 31 + (i / sw) * 17) % 23 * 1.0)
+      val strips = (0 until sh by 5).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(5, sh - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * sw, (y0 + hh) * sw))
+      }.toDS()
+      graft.raster.Warp.warp(s, strips, sw, sh,
+          graft.core.GeoTransform.northUp(0, 18, 1, 1),
+          graft.raster.Warp.DstSpec(16, 17,
+            graft.core.GeoTransform.northUp(2.3, 15.6, 0.62, 0.62), stripHeight = 6),
+          kernel = graft.raster.Warp.Lanczos, noData = -1.0)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until 16)
+            yield (x, st.yOff + y, st.vals(y * 16 + x))
+        }.toDF("x", "y", "v")
+        .select(col("x"), col("y"), round(col("v"), 6).as("v_r"))
+    }),
+    "q_warp_average" -> ((s, d) => {
+      import s.implicits._
+      val sw = 12; val sh = 14
+      val vals = Array.tabulate(sw * sh)(i => ((i % sw) * 31 + (i / sw) * 17) % 23 * 1.0)
+      val strips = (0 until sh by 3).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(3, sh - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * sw, (y0 + hh) * sw))
+      }.toDS()
+      // aligned 2× downscale: each dst pixel footprint = one 2×2 src block
+      graft.raster.Warp.warp(s, strips, sw, sh,
+          graft.core.GeoTransform.northUp(0, 14, 1, 1),
+          graft.raster.Warp.DstSpec(6, 7,
+            graft.core.GeoTransform.northUp(0, 14, 2, 2), stripHeight = 3),
+          kernel = graft.raster.Warp.Average, noData = -1.0)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until 6)
+            yield (x, st.yOff + y, st.vals(y * 6 + x))
+        }.toDF("x", "y", "v")
+        .select(col("x"), col("y"), round(col("v"), 6).as("v_r"))
+    }),
     "q_histogram" -> ((s, d) => {
       // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
       // equal-width buckets over [min, max]; here 8 buckets over lineitem
@@ -685,7 +748,78 @@ object SparkEntry {
       |    ((w6 + w7 + w7 + w8) - (w0 + w1 + w1 + w2)) / (-1.0) AS gy
       |  FROM w)""".stripMargin
 
+  // ---- SQL text builders for the warp-kernel oracles (textual expansion
+  // mirrors the Scala kernels' floating-point op order exactly) ----
+  private def vGridSql(ix: String, iy: String): String =
+    s"CAST((($ix) * 31 + ($iy) * 17) % 23 AS DOUBLE)"
+
+  private def ccSql(d1: String, d2: String, d3: String,
+                    f0: String, f1: String, f2: String, f3: String): String =
+    s"(($f1) + 0.5 * (($d1) * (($f2) - ($f0)) + ($d2) * (2.0 * ($f0) - 5.0 * ($f1) + 4.0 * ($f2) - ($f3)) + ($d3) * (3.0 * (($f1) - ($f2)) + ($f3) - ($f0))))"
+
+  private def lzSql(x: String): String =
+    s"(CASE WHEN ($x) = 0 THEN 1.0 ELSE sin(pi() * ($x)) * sin((pi() * ($x)) / 3) / ((pi() * ($x)) * ((pi() * ($x)) / 3)) END)"
+
+  private def warpCubicOracle: String = {
+    def fRow(j: String) = ccSql("dx1", "dx2", "dx3",
+      vGridSql("ix - 1", s"iy + ($j)"), vGridSql("ix", s"iy + ($j)"),
+      vGridSql("ix + 1", s"iy + ($j)"), vGridSql("ix + 2", s"iy + ($j)"))
+    val outer = ccSql("dy1", "dy2", "dy3", fRow("-1"), fRow("0"), fRow("1"), fRow("2"))
+    s"""WITH d AS (
+       |  SELECT xx.x, yy.y FROM (SELECT unnest(generate_series(0, 14)) AS x) xx,
+       |                         (SELECT unnest(generate_series(0, 16)) AS y) yy),
+       |p AS (
+       |  SELECT x, y, 1.2 + (x + 0.5) * 0.62 AS px,
+       |         14.0 - (12.4 - (y + 0.5) * 0.62) AS py FROM d),
+       |q AS (
+       |  SELECT x, y, px, py,
+       |         CAST(floor(px - 0.5) AS INT) AS ix, CAST(floor(py - 0.5) AS INT) AS iy
+       |  FROM p),
+       |e AS (
+       |  SELECT x, y, ix, iy, px - 0.5 - ix AS dx1, py - 0.5 - iy AS dy1 FROM q),
+       |e2 AS (
+       |  SELECT x, y, ix, iy, dx1, dy1, dx1 * dx1 AS dx2, (dx1 * dx1) * dx1 AS dx3,
+       |         dy1 * dy1 AS dy2, (dy1 * dy1) * dy1 AS dy3 FROM e)
+       |SELECT x, y, round($outer, 6) AS v_r FROM e2""".stripMargin
+  }
+
+  private def warpLanczosOracle: String = {
+    val ks = -2 to 3
+    val sumH = ks.map(i => lzSql(s"($i - dx1) * 1.0")).mkString("(", " + ", ")")
+    val sumV = ks.map(j => lzSql(s"($j - dy1) * 1.0")).mkString("(", " + ", ")")
+    val acc = ks.map { j =>
+      val local = ks.map(i =>
+        s"${vGridSql(s"ix + ($i)", s"iy + ($j)")} * ${lzSql(s"($i - dx1) * 1.0")}")
+        .mkString("(", " + ", ")")
+      s"${lzSql(s"($j - dy1) * 1.0")} * $local"
+    }.mkString("(", " + ", ")")
+    s"""WITH d AS (
+       |  SELECT xx.x, yy.y FROM (SELECT unnest(generate_series(0, 15)) AS x) xx,
+       |                         (SELECT unnest(generate_series(0, 16)) AS y) yy),
+       |p AS (
+       |  SELECT x, y, 2.3 + (x + 0.5) * 0.62 AS px,
+       |         18.0 - (15.6 - (y + 0.5) * 0.62) AS py FROM d),
+       |e AS (
+       |  SELECT x, y, CAST(floor(px - 0.5) AS INT) AS ix, CAST(floor(py - 0.5) AS INT) AS iy,
+       |         px - 0.5 - CAST(floor(px - 0.5) AS INT) AS dx1,
+       |         py - 0.5 - CAST(floor(py - 0.5) AS INT) AS dy1
+       |  FROM p)
+       |SELECT x, y, round($acc / ($sumH * $sumV), 6) AS v_r FROM e""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_warp_cubic" -> warpCubicOracle,
+    "q_warp_lanczos" -> warpLanczosOracle,
+    "q_warp_average" ->
+      """WITH d AS (
+        |  SELECT xx.x, yy.y FROM (SELECT unnest(generate_series(0, 5)) AS x) xx,
+        |                         (SELECT unnest(generate_series(0, 6)) AS y) yy)
+        |SELECT x, y, round((
+        |    CAST(((2*x) * 31 + (2*y) * 17) % 23 AS DOUBLE) +
+        |    CAST(((2*x+1) * 31 + (2*y) * 17) % 23 AS DOUBLE) +
+        |    CAST(((2*x) * 31 + (2*y+1) * 17) % 23 AS DOUBLE) +
+        |    CAST(((2*x+1) * 31 + (2*y+1) * 17) % 23 AS DOUBLE)) / 4, 6) AS v_r
+        |FROM d""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

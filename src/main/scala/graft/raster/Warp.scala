@@ -28,6 +28,29 @@ object Warp {
   sealed trait Kernel
   case object Nearest extends Kernel
   case object Bilinear extends Kernel
+  /** Catmull-Rom bicubic (`gdalwarpkernel.cpp:2252` CubicConvolution,
+    * border pixels fall back to bilinear like GWKCubicResample4Sample).
+    */
+  case object Cubic extends Kernel
+  /** Cubic B-Spline via the general weighted path (`:2540` GWKBSpline,
+    * radius 2, edge-clipped weights normalized by ΣwH·ΣwV).
+    */
+  case object CubicSpline extends Kernel
+  /** Lanczos windowed sinc, radius 3 (`:2369` GWKLanczosSinc). */
+  case object Lanczos extends Kernel
+  /** Source-footprint aggregates (`:4636` GWKAverageOrModeThread): the dst
+    * pixel's corner square is transformed to source space; all source
+    * pixels in the rect contribute.
+    */
+  sealed trait RectKernel extends Kernel
+  case object Average extends RectKernel
+  case object Mode extends RectKernel
+  case object Max extends RectKernel
+  case object Min extends RectKernel
+  final case class Quantile(q: Double) extends RectKernel
+  val Med: Quantile = Quantile(0.5)
+  val Q1: Quantile = Quantile(0.25)
+  val Q3: Quantile = Quantile(0.75)
 
   /** Geo-coordinate transform from DST CRS to SRC CRS (inverse direction,
     * as the warp pulls). Identity when both share a CRS.
@@ -51,6 +74,58 @@ object Warp {
     val (sx, sy) = tx(gx, gy)
     (srcInv.geoX(sx, sy), srcInv.geoY(sx, sy))
   }
+
+  /** Continuous src pixel coords of a dst pixel CORNER (rect kernels). */
+  @inline private def srcCornerOf(dx: Double, dy: Double, dstGt: GeoTransform,
+                                  tx: GeoTx, srcInv: GeoTransform): (Double, Double) = {
+    val gx = dstGt.geoX(dx, dy)
+    val gy = dstGt.geoY(dx, dy)
+    val (sx, sy) = tx(gx, gy)
+    (srcInv.geoX(sx, sy), srcInv.geoY(sx, sy))
+  }
+
+  /** Per-dst-pixel dispatch shared by the distributed and local paths. */
+  @inline private def samplePixel(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
+                                  c: Int, gy: Int, dstGt: GeoTransform, tx: GeoTx,
+                                  srcInv: GeoTransform, kernel: Kernel,
+                                  noData: Double): Double = kernel match {
+    case rk: RectKernel =>
+      val (px1, py1) = srcCornerOf(c, gy, dstGt, tx, srcInv)
+      val (px2, py2) = srcCornerOf(c + 1.0, gy + 1.0, dstGt, tx, srcInv)
+      sampleRect(rows, srcW, srcH, px1, py1, px2, py2, rk, noData)
+    case _ =>
+      val (px, py) = srcPixelOf(c, gy, dstGt, tx, srcInv)
+      sample(rows, srcW, srcH, px, py, kernel, noData)
+  }
+
+  /** CubicConvolution (`gdalwarpkernel.cpp:2252`). */
+  @inline private def cubicConv(d1: Double, d2: Double, d3: Double,
+                                f0: Double, f1: Double, f2: Double, f3: Double): Double =
+    f1 + 0.5 * (d1 * (f2 - f0) + d2 * (2.0 * f0 - 5.0 * f1 + 4.0 * f2 - f3) +
+      d3 * (3.0 * (f1 - f2) + f3 - f0))
+
+  /** GWKBSpline (`:2526`; unnormalized — the general path divides by Σw). */
+  @inline private def bsplineW(x: Double): Double = {
+    val xp2 = x + 2.0; val xp1 = x + 1.0; val xm1 = x - 1.0
+    val xp2c = xp2 * xp2 * xp2
+    (if (xp2 > 0.0)
+      (if (xp1 > 0.0)
+        (if (x > 0.0)
+          (if (xm1 > 0.0) -4.0 * xm1 * xm1 * xm1 else 0.0) + 6.0 * x * x * x
+        else 0.0) + (-4.0) * xp1 * xp1 * xp1
+      else 0.0) + xp2c
+    else 0.0)
+  }
+
+  /** GWKLanczosSinc (`:2383`), radius 3. */
+  @inline private def lanczosW(x: Double): Double =
+    if (x == 0.0) 1.0
+    else {
+      val pix = math.Pi * x
+      val pixOverR = pix / 3
+      val pix2OverR = pix * pixOverR
+      math.sin(pix) * math.sin(pixOverR) / pix2OverR
+    }
 
   @inline private def sample(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
                              px: Double, py: Double, kernel: Kernel,
@@ -79,6 +154,188 @@ object Warp {
         val v01 = at(x0, y0 + 1); val v11 = at(x0 + 1, y0 + 1)
         (v00 * (1 - wx) + v10 * wx) * (1 - wy) + (v01 * (1 - wx) + v11 * wx) * wy
       }
+    case Cubic =>
+      val iSrcX = math.floor(px - 0.5).toInt
+      val iSrcY = math.floor(py - 0.5).toInt
+      if (iSrcX - 1 < 0 || iSrcX + 2 >= srcW || iSrcY - 1 < 0 || iSrcY + 2 >= srcH)
+        sample(rows, srcW, srcH, px, py, Bilinear, noData) // reference border fallback
+      else {
+        val dx = px - 0.5 - iSrcX; val dy = py - 0.5 - iSrcY
+        val dx2 = dx * dx; val dx3 = dx2 * dx
+        val dy2 = dy * dy; val dy3 = dy2 * dy
+        @inline def rowConv(j: Int): Double = {
+          val r = rows.getOrElse(iSrcY + j, null)
+          if (r == null) return noData
+          cubicConv(dx, dx2, dx3, r(iSrcX - 1), r(iSrcX), r(iSrcX + 1), r(iSrcX + 2))
+        }
+        cubicConv(dy, dy2, dy3, rowConv(-1), rowConv(0), rowConv(1), rowConv(2))
+      }
+    case CubicSpline => generalResample(rows, srcW, srcH, px, py, 2, bsplineW, noData)
+    case Lanczos     => generalResample(rows, srcW, srcH, px, py, 3, lanczosW, noData)
+    case _: RectKernel =>
+      throw new IllegalStateException("rect kernels sample via sampleRect")
+  }
+
+  /** GWKResampleNoMasksT (`gdalwarpkernel.cpp:3161`) with XScale=YScale=1:
+    * edge-clipped weight window, result = Σ w·v / (ΣwH · ΣwV).
+    */
+  private def generalResample(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
+                              px: Double, py: Double, radius: Int,
+                              weight: Double => Double, noData: Double): Double = {
+    val iSrcX = math.floor(px - 0.5).toInt
+    val iSrcY = math.floor(py - 0.5).toInt
+    if (iSrcX >= srcW || iSrcY >= srcH || px < 0 || py < 0)
+      return sample(rows, srcW, srcH, px, py, Bilinear, noData)
+    val dX = px - 0.5 - iSrcX
+    val dY = py - 0.5 - iSrcY
+    var iMin = 1 - radius
+    if (iSrcX + iMin < 0) iMin = -iSrcX
+    var iMax = radius
+    if (iSrcX + iMax >= srcW - 1) iMax = srcW - 1 - iSrcX
+    val w = new Array[Double](iMax - iMin + 1)
+    var sumH = 0.0
+    var i = iMin
+    while (i <= iMax) {
+      val wi = weight((i - dX) * 1.0)
+      w(i - iMin) = wi
+      sumH += wi
+      i += 1
+    }
+    var jMin = 1 - radius
+    if (iSrcY + jMin < 0) jMin = -iSrcY
+    var jMax = radius
+    if (iSrcY + jMax >= srcH - 1) jMax = srcH - 1 - iSrcY
+    var acc = 0.0
+    var sumV = 0.0
+    var j = jMin
+    while (j <= jMax) {
+      val r = rows.getOrElse(iSrcY + j, null)
+      if (r == null) return noData
+      var local = 0.0
+      i = iMin
+      while (i <= iMax) {
+        local += r(iSrcX + i) * w(i - iMin)
+        i += 1
+      }
+      val wj = weight((j - dY) * 1.0)
+      acc += wj * local
+      sumV += wj
+      j += 1
+    }
+    val denom = sumH * sumV
+    if (denom == 0.0) noData else acc / denom
+  }
+
+  /** Source-footprint aggregate of one dst pixel
+    * (`gdalwarpkernel.cpp:4851-4880`: corner transforms with the 1e-10
+    * guard, ordering swap, degenerate-rect widening; then per-kernel
+    * accumulation over the rect).
+    */
+  private def sampleRect(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
+                         x1: Double, y1: Double, x2: Double, y2: Double,
+                         kernel: RectKernel, noData: Double): Double = {
+    var xMin = math.max(math.floor(x1 + 1e-10).toInt, 0)
+    var xMax = math.min(math.ceil(x2 - 1e-10).toInt, srcW)
+    var yMin = math.max(math.floor(y1 + 1e-10).toInt, 0)
+    var yMax = math.min(math.ceil(y2 - 1e-10).toInt, srcH)
+    if (xMax < xMin) {
+      xMin = math.max(math.floor(x2 + 1e-10).toInt, 0)
+      xMax = math.min(math.ceil(x1 - 1e-10).toInt, srcW)
+    }
+    if (yMax < yMin) {
+      yMin = math.max(math.floor(y2 + 1e-10).toInt, 0)
+      yMax = math.min(math.ceil(y1 - 1e-10).toInt, srcH)
+    }
+    if (xMin == xMax && xMax < srcW) xMax += 1
+    if (yMin == yMax && yMax < srcH) yMax += 1
+
+    kernel match {
+      case Average =>
+        var total = 0.0; var n = 0
+        var y = yMin
+        while (y < yMax) {
+          val r = rows.getOrElse(y, null)
+          if (r != null) {
+            var x = xMin
+            while (x < xMax) { total += r(x); n += 1; x += 1 }
+          }
+          y += 1
+        }
+        if (n == 0) noData else total / n
+      case Max =>
+        var best = Double.MinValue; var n = 0
+        var y = yMin
+        while (y < yMax) {
+          val r = rows.getOrElse(y, null)
+          if (r != null) {
+            var x = xMin
+            while (x < xMax) { if (r(x) > best) best = r(x); n += 1; x += 1 }
+          }
+          y += 1
+        }
+        if (n == 0) noData else best
+      case Min =>
+        var best = Double.MaxValue; var n = 0
+        var y = yMin
+        while (y < yMax) {
+          val r = rows.getOrElse(y, null)
+          if (r != null) {
+            var x = xMin
+            while (x < xMax) { if (r(x) < best) best = r(x); n += 1; x += 1 }
+          }
+          y += 1
+        }
+        if (n == 0) noData else best
+      case Mode =>
+        // GWKAOM_Fmode: running first-encounter argmax over distinct values
+        val vals = new scala.collection.mutable.ArrayBuffer[Double]()
+        val sums = new scala.collection.mutable.ArrayBuffer[Int]()
+        var maxIdx = -1
+        var y = yMin
+        while (y < yMax) {
+          val r = rows.getOrElse(y, null)
+          if (r != null) {
+            var x = xMin
+            while (x < xMax) {
+              val v = r(x)
+              var i = 0
+              var found = false
+              while (i < vals.length && !found) {
+                if (vals(i) == v) {
+                  sums(i) += 1
+                  if (sums(i) > sums(maxIdx)) maxIdx = i
+                  found = true
+                }
+                i += 1
+              }
+              if (!found) {
+                vals += v; sums += 1
+                if (maxIdx < 0) maxIdx = vals.length - 1
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        if (maxIdx < 0) noData else vals(maxIdx)
+      case Quantile(q) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[Double]()
+        var y = yMin
+        while (y < yMax) {
+          val r = rows.getOrElse(y, null)
+          if (r != null) {
+            var x = xMin
+            while (x < xMax) { buf += r(x); x += 1 }
+          }
+          y += 1
+        }
+        if (buf.isEmpty) noData
+        else {
+          val sorted = buf.toArray
+          java.util.Arrays.sort(sorted)
+          sorted(math.ceil(q * sorted.length - 1).toInt)
+        }
+    }
   }
 
   final case class DstSpec(width: Int, height: Int, gt: GeoTransform, stripHeight: Int = 256)
@@ -92,7 +349,9 @@ object Warp {
     val nDst = (dst.height + dst.stripHeight - 1) / dst.stripHeight
 
     // driver-side: source row range per dst strip from outline samples
-    val margin = 2
+    // (margin 4 covers the widest center-sampled kernel, Lanczos radius 3;
+    // rect kernels additionally sample the outer pixel CORNERS below)
+    val margin = 4
     val ranges: Array[(Int, Int)] = Array.tabulate(nDst) { st =>
       val y0 = st * dst.stripHeight
       val y1 = math.min(dst.height, y0 + dst.stripHeight) - 1
@@ -102,9 +361,14 @@ object Warp {
         if (py < lo) lo = py
         if (py > hi) hi = py
       }
-      // right edge column too
+      // right edge column + strip corner rows (rect-kernel footprints)
       for (dy <- Seq(y0, y1)) {
         val (_, py) = srcPixelOf(dst.width - 1, dy, dst.gt, tx, srcInv)
+        if (py < lo) lo = py
+        if (py > hi) hi = py
+      }
+      for (dy <- Seq(y0.toDouble, y1 + 1.0); dx <- Seq(0.0, dst.width / 2.0, dst.width.toDouble)) {
+        val (_, py) = srcCornerOf(dx, dy, dst.gt, tx, srcInv)
         if (py < lo) lo = py
         if (py > hi) hi = py
       }
@@ -143,8 +407,7 @@ object Warp {
       while (r < hh) {
         var c = 0
         while (c < dstW) {
-          val (px, py) = srcPixelOf(c, y0 + r, dstGt, tx, srcInv)
-          out(r * dstW + c) = sample(srcRows, srcW, srcH, px, py, k, nd)
+          out(r * dstW + c) = samplePixel(srcRows, srcW, srcH, c, y0 + r, dstGt, tx, srcInv, k, nd)
           c += 1
         }
         r += 1
@@ -162,8 +425,7 @@ object Warp {
       y -> java.util.Arrays.copyOfRange(vals, y * srcW, (y + 1) * srcW)).toMap
     val out = new Array[Double](dst.width * dst.height)
     for (y <- 0 until dst.height; x <- 0 until dst.width) {
-      val (px, py) = srcPixelOf(x, y, dst.gt, tx, srcInv)
-      out(y * dst.width + x) = sample(rows, srcW, srcH, px, py, kernel, noData)
+      out(y * dst.width + x) = samplePixel(rows, srcW, srcH, x, y, dst.gt, tx, srcInv, kernel, noData)
     }
     out
   }

@@ -39,6 +39,73 @@ class WarpSpec extends AnyFunSuite {
     }
   }
 
+  private val allKernels = Seq(Warp.Nearest, Warp.Bilinear, Warp.Cubic,
+    Warp.CubicSpline, Warp.Lanczos, Warp.Average, Warp.Mode, Warp.Max,
+    Warp.Min, Warp.Med, Warp.Q1, Warp.Q3)
+
+  test("every kernel: distributed equals local on a scaled+shifted affine") {
+    val dstGt = GeoTransform.northUp(9.4, 50.7, 0.77, 0.77)
+    val dst = Warp.DstSpec(14, 11, dstGt, stripHeight = 4)
+    for (k <- allKernels; stripH <- Seq(3, 16)) {
+      val expect = Warp.warpLocal(vals, W, H, srcGt, dst, kernel = k, noData = -1)
+      val got = Warp.warp(spark, strips(stripH), W, H, srcGt, dst, kernel = k, noData = -1)
+        .collect().sortBy(_.yOff).flatMap(_.vals)
+      assert(got.toSeq === expect.toSeq, s"kernel $k stripH $stripH")
+    }
+  }
+
+  test("interpolating kernels preserve a constant field exactly") {
+    val const = Array.fill(W * H)(7.25)
+    val cStrips = (0 until H by 5).zipWithIndex.map { case (y0, i) =>
+      DStrip(i, y0, math.min(5, H - y0),
+        java.util.Arrays.copyOfRange(const, y0 * W, (y0 + math.min(5, H - y0)) * W))
+    }.toDS()
+    // dst fully interior so no border/nodata pixels
+    val dstGt = GeoTransform.northUp(12, 48, 0.43, 0.43)
+    val dst = Warp.DstSpec(8, 7, dstGt, stripHeight = 3)
+    for (k <- Seq(Warp.Bilinear, Warp.Cubic, Warp.CubicSpline, Warp.Lanczos,
+        Warp.Average, Warp.Mode, Warp.Max, Warp.Min, Warp.Med)) {
+      val got = Warp.warp(spark, cStrips, W, H, srcGt, dst, kernel = k, noData = -1)
+        .collect().sortBy(_.yOff).flatMap(_.vals)
+      assert(got.forall(v => math.abs(v - 7.25) < 1e-9), s"kernel $k: ${got.toSeq.distinct}")
+    }
+  }
+
+  test("aligned 2x average downscale equals exact block means") {
+    // dst pixel (x,y) covers src 2x2 block exactly
+    val dstGt = GeoTransform.northUp(10, 50, 1.0, 1.0)
+    val dst = Warp.DstSpec(W / 2, H / 2, dstGt, stripHeight = 3)
+    val got = Warp.warp(spark, strips(4), W, H, srcGt, dst, kernel = Warp.Average, noData = -1)
+      .collect().sortBy(_.yOff).flatMap(_.vals)
+    for (y <- 0 until H / 2; x <- 0 until W / 2) {
+      val mean = (vals(2 * y * W + 2 * x) + vals(2 * y * W + 2 * x + 1) +
+        vals((2 * y + 1) * W + 2 * x) + vals((2 * y + 1) * W + 2 * x + 1)) / 4
+      assert(math.abs(got(y * (W / 2) + x) - mean) < 1e-12, s"($x,$y)")
+    }
+  }
+
+  test("cubic matches the closed-form Catmull-Rom on interior samples") {
+    // 1-D ramp in x: cubic convolution must reproduce linear data exactly
+    val ramp = Array.tabulate(W * H)(i => (i % W).toDouble)
+    val rStrips = (0 until H by 5).zipWithIndex.map { case (y0, i) =>
+      DStrip(i, y0, math.min(5, H - y0),
+        java.util.Arrays.copyOfRange(ramp, y0 * W, (y0 + math.min(5, H - y0)) * W))
+    }.toDS()
+    val dstGt = GeoTransform.northUp(11, 49, 0.31, 0.31)
+    val dst = Warp.DstSpec(10, 9, dstGt, stripHeight = 4)
+    val got = Warp.warp(spark, rStrips, W, H, srcGt, dst, kernel = Warp.Cubic, noData = -1)
+      .collect().sortBy(_.yOff).flatMap(_.vals)
+    val gotL = Warp.warp(spark, rStrips, W, H, srcGt, dst, kernel = Warp.Lanczos, noData = -1)
+      .collect().sortBy(_.yOff).flatMap(_.vals)
+    for (y <- 0 until 9; x <- 0 until 10) {
+      // src px of dst center: px = (11 + (x+0.5)*0.31 - 10) / 0.5
+      val px = (11 + (x + 0.5) * 0.31 - 10) / 0.5
+      val expect = px - 0.5 // ramp value at continuous center position
+      assert(math.abs(got(y * 10 + x) - expect) < 1e-9, s"cubic ($x,$y)")
+      assert(math.abs(gotL(y * 10 + x) - expect) < 0.08, s"lanczos ($x,$y)") // windowed sinc ripple
+    }
+  }
+
   test("reprojection warp 4326->3857 equals local reference") {
     // src in lon/lat; dst in WebMercator covering the same area
     val xm0 = graft.expr.GeoRt.lonToMercX(10)
