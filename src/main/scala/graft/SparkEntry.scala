@@ -119,6 +119,19 @@ object SparkEntry {
       .select(col("x"), col("y"), round(col("v"), 6).as(alias))
   }
 
+  /** Deterministic 4×3 grid of axis-aligned rectangles for the overlay
+    * oracles (offsets chosen so no two edges are collinear or touching —
+    * the oracle is the closed-form rect-overlap formula).
+    */
+  private def overlayRects(s: SparkSession, ox: Double, oy: Double,
+                           w: Double, h: Double): DataFrame = {
+    import s.implicits._
+    (0 until 12).map { i =>
+      val x0 = (i % 4) * 3.0 + ox; val y0 = (i / 4) * 3.0 + oy
+      (i.toLong, s"POLYGON(($x0 $y0,${x0 + w} $y0,${x0 + w} ${y0 + h},$x0 ${y0 + h},$x0 $y0))")
+    }.toDF("id", "wkt").withColumn("geom", gf.st_geomfromtext(col("wkt")))
+  }
+
   /** Deterministic 500-vertex forest for the graph oracles: 10 groups of
     * 50; within a group, vertex j's parent is j/2 (binary tree), group
     * roots have no edge. SQL-mirrorable in closed form.
@@ -577,6 +590,23 @@ object SparkEntry {
         .select(least(floor((col("l_quantity") - 1.0) / 50.0 * 8.0), lit(7.0))
           .cast("long").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---------------- constructive geometry / layer algebra ----------------
+    "q_overlay" -> ((s, d) => {
+      import s.implicits._
+      val a = overlayRects(s, 0.0, 0.0, 2.6, 2.6)
+      val b = overlayRects(s, 1.317, 1.113, 2.4, 2.2)
+      SpatialJoin.overlayJoin(a, col("id"), col("geom"), b, col("id"), col("geom"), res = 8)
+        .select(col("left_key"), col("right_key"),
+          round(gf.st_area(col("wkb")), 6).as("area_r"))
+    }),
+    "q_overlay_erase" -> ((s, d) => {
+      import s.implicits._
+      val a = overlayRects(s, 0.0, 0.0, 2.6, 2.6)
+      val b = overlayRects(s, 1.317, 1.113, 2.4, 2.2)
+      SpatialJoin.eraseJoin(a, col("id"), col("geom"), b, col("id"), col("geom"), res = 8)
+        .select(col("left_key"), round(gf.st_area(col("wkb")), 6).as("area_r"))
     }),
 
     // ---------------- DEM family (distributed 3×3 over strips) ----------------
@@ -1149,6 +1179,41 @@ object SparkEntry {
         |  lang AS lang_declared
         |FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_pt, h_ru) AS m FROM h)""".stripMargin,
     "q_fingerprint" -> graft.fixtures.FingerprintOracle.valuesSql,
+    "q_overlay" ->
+      // closed-form axis-aligned rect overlap
+      """WITH a AS (
+        |  SELECT i AS id, (i % 4) * 3.0 AS x1, (i // 4) * 3.0 AS y1,
+        |         (i % 4) * 3.0 + 2.6 AS x2, (i // 4) * 3.0 + 2.6 AS y2
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS i)),
+        |b AS (
+        |  SELECT i AS id, (i % 4) * 3.0 + 1.317 AS x1, (i // 4) * 3.0 + 1.113 AS y1,
+        |         (i % 4) * 3.0 + 1.317 + 2.4 AS x2, (i // 4) * 3.0 + 1.113 + 2.2 AS y2
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS i)),
+        |j AS (
+        |  SELECT a.id AS lk, b.id AS rk,
+        |         greatest(0, least(a.x2, b.x2) - greatest(a.x1, b.x1)) AS w,
+        |         greatest(0, least(a.y2, b.y2) - greatest(a.y1, b.y1)) AS h
+        |  FROM a, b)
+        |SELECT CAST(lk AS BIGINT) AS left_key, CAST(rk AS BIGINT) AS right_key,
+        |       round(w * h, 6) AS area_r
+        |FROM j WHERE w > 0 AND h > 0""".stripMargin,
+    "q_overlay_erase" ->
+      // erase area = rect area − Σ overlaps (B rects are pairwise disjoint)
+      """WITH a AS (
+        |  SELECT i AS id, (i % 4) * 3.0 AS x1, (i // 4) * 3.0 AS y1,
+        |         (i % 4) * 3.0 + 2.6 AS x2, (i // 4) * 3.0 + 2.6 AS y2
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS i)),
+        |b AS (
+        |  SELECT i AS id, (i % 4) * 3.0 + 1.317 AS x1, (i // 4) * 3.0 + 1.113 AS y1,
+        |         (i % 4) * 3.0 + 1.317 + 2.4 AS x2, (i // 4) * 3.0 + 1.113 + 2.2 AS y2
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS i)),
+        |ov AS (
+        |  SELECT a.id AS lk,
+        |         sum(greatest(0, least(a.x2, b.x2) - greatest(a.x1, b.x1)) *
+        |             greatest(0, least(a.y2, b.y2) - greatest(a.y1, b.y1))) AS cut
+        |  FROM a, b GROUP BY a.id)
+        |SELECT CAST(lk AS BIGINT) AS left_key, round(2.6 * 2.6 - cut, 6) AS area_r
+        |FROM ov WHERE 2.6 * 2.6 - cut > 1e-9""".stripMargin,
     "q_aspect" ->
       // atan2(dy, −dx) with dx = −gx, dy = −gy of the Horn CTE; azimuth
       // remap; flat cells → −9999 (both subtrahends exactly zero)

@@ -313,6 +313,139 @@ object GeoExtract {
     lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180
 }
 
+/** Boolean overlay runtime over WKB, multipolygon-aware. op: 0 =
+  * intersection, 1 = union, 2 = difference, 3 = symdifference. Returns
+  * null for the empty result (the relational convention here; the
+  * reference returns an empty geometry object).
+  */
+object OverlayRt {
+  import graft.core.{GeomClip, GMulti, GPolygon}
+
+  private def polysOf(g: Geom): Seq[GPolygon] = g match {
+    case p: GPolygon => Seq(p)
+    case GMulti(6, gs) => gs.toSeq.flatMap(polysOf)
+    case _ => Seq.empty
+  }
+
+  private def wrap(pieces: Seq[Geom]): Array[Byte] = pieces match {
+    case Seq() => null
+    case Seq(one) => Geom.toWkb(one)
+    case many => Geom.toWkb(GMulti(6, many.toArray))
+  }
+
+  def overlay(a: Array[Byte], b: Array[Byte], op: Int): Array[Byte] = {
+    val pas = polysOf(GeoRt.decode(a))
+    val pbs = polysOf(GeoRt.decode(b))
+    if (pas.isEmpty || (pbs.isEmpty && (op == 0))) return null
+    op match {
+      case 0 => // intersection: all cross pieces
+        wrap(for (pa <- pas; pb <- pbs; g <- GeomClip.intersection(pa, pb).toSeq
+                  if graft.core.GeomOps.area(g) > 0) yield g)
+      case 1 => // union: fold pairwise (results may stay multi-piece)
+        var acc: Seq[GPolygon] = pas
+        for (pb <- pbs) {
+          // merge pb into every overlapping acc member, keep the rest
+          var cur: Seq[GPolygon] = Seq(pb)
+          val keep = Seq.newBuilder[GPolygon]
+          acc.foreach { pa =>
+            val merged = GeomClip.union(pa, cur.head) match {
+              case Some(p: GPolygon) => Some(p)
+              case _ => None
+            }
+            merged match {
+              case Some(m) => cur = Seq(m)
+              case None => keep += pa
+            }
+          }
+          acc = keep.result() ++ cur
+        }
+        wrap(acc)
+      case 2 => // difference: subtract every b piece from every a piece
+        var acc: Seq[GPolygon] = pas
+        for (pb <- pbs) {
+          acc = acc.flatMap { pa =>
+            GeomClip.difference(pa, pb).toSeq.flatMap {
+              case p: GPolygon => Seq(p)
+              case GMulti(6, gs) => gs.toSeq.collect { case p: GPolygon => p }
+              case _ => Seq.empty
+            }
+          }
+        }
+        wrap(acc.filter(graft.core.GeomOps.area(_) > 0))
+      case 3 =>
+        val ab = overlay(a, b, 2)
+        val ba = overlay(b, a, 2)
+        if (ab == null) ba
+        else if (ba == null) ab
+        else wrap(polysOf(GeoRt.decode(ab)) ++ polysOf(GeoRt.decode(ba)))
+      case _ => null
+    }
+  }
+}
+
+/** st_intersection / st_union / st_difference / st_symdifference
+  * (wkb, wkb) -> wkb; null = empty result.
+  */
+case class StOverlay(left: Expression, right: Expression, op: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    OverlayRt.overlay(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], op)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""byte[] ${ev.value}Tmp = graft.expr.OverlayRt.overlay($a, $b, $op);
+         |if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Tmp; }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = op match {
+    case 0 => "st_intersection"; case 1 => "st_union"
+    case 2 => "st_difference"; case _ => "st_symdifference"
+  }
+}
+
+/** Geometry type casts (`gdal/ogr/ogrgeometryfactory.cpp:553,:669`
+  * forceToPolygon / forceToMultiPolygon): polygon↔multipolygon coercion
+  * used by the SQL dialect's type normalization. forceToPolygon keeps the
+  * FIRST polygon of a multi (reference semantics: additional geometries
+  * discarded); forceToMultiPolygon wraps a polygon.
+  */
+object ForceRt {
+  import graft.core.{GMulti, GPolygon}
+  def toPolygon(wkb: Array[Byte]): Array[Byte] = GeoRt.decode(wkb) match {
+    case p: GPolygon => Geom.toWkb(p)
+    case GMulti(6, gs) if gs.nonEmpty => Geom.toWkb(gs(0))
+    case _ => null
+  }
+  def toMultiPolygon(wkb: Array[Byte]): Array[Byte] = GeoRt.decode(wkb) match {
+    case p: GPolygon => Geom.toWkb(GMulti(6, Array[Geom](p)))
+    case m @ GMulti(6, _) => Geom.toWkb(m)
+    case _ => null
+  }
+}
+
+/** st_force_polygon(wkb) / st_force_multipolygon(wkb). */
+case class StForce(child: Expression, toMulti: Boolean) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    if (toMulti) ForceRt.toMultiPolygon(b.asInstanceOf[Array[Byte]])
+    else ForceRt.toPolygon(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val fn = if (toMulti) "toMultiPolygon" else "toPolygon"
+      s"""byte[] ${ev.value}Tmp = graft.expr.ForceRt.$fn($b);
+         |if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Tmp; }""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = if (toMulti) "st_force_multipolygon" else "st_force_polygon"
+}
+
 /** st_convexhull(wkb) -> wkb */
 case class StConvexHull(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType

@@ -40,6 +40,12 @@ object gf {
     col(StTransform(x(g), x(lit(srcSrid)), x(lit(dstSrid))))
 
   // ---- constructive ops ----
+  def st_intersection(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 0))
+  def st_union(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 1))
+  def st_difference(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 2))
+  def st_symdifference(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 3))
+  def st_force_polygon(g: Column): Column = col(StForce(x(g), toMulti = false))
+  def st_force_multipolygon(g: Column): Column = col(StForce(x(g), toMulti = true))
   def st_convexhull(g: Column): Column = col(StConvexHull(x(g)))
   def st_simplify(g: Column, tol: Column): Column = col(StSimplify(x(g), x(tol.cast("double"))))
   def st_segmentize(g: Column, maxLen: Column): Column = col(StSegmentize(x(g), x(maxLen.cast("double"))))
@@ -117,6 +123,12 @@ object gf {
     r1("cells_covering", es => CellsCovering(es(0), i(es(1))))
     r1("geo_extract", es => GeoExtract(es.head))
     r1("st_convexhull", es => StConvexHull(es.head))
+    r1("st_intersection", es => StOverlay(es(0), es(1), 0))
+    r1("st_union", es => StOverlay(es(0), es(1), 1))
+    r1("st_difference", es => StOverlay(es(0), es(1), 2))
+    r1("st_symdifference", es => StOverlay(es(0), es(1), 3))
+    r1("st_force_polygon", es => StForce(es.head, toMulti = false))
+    r1("st_force_multipolygon", es => StForce(es.head, toMulti = true))
     r1("st_simplify", es => StSimplify(es(0), d(es(1))))
     r1("st_segmentize", es => StSegmentize(es(0), d(es(1))))
     r1("minhash_sig", es => MinHashSig(es(0), i(es(1)), i(es(2))))
