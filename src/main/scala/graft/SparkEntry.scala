@@ -398,6 +398,45 @@ object SparkEntry {
         .select(col("qid"), round(col("idw"), 6).as("idw_r"))
     }),
 
+    "q_grid_moving_avg" -> ((s, d) => {
+      import s.implicits._
+      val pts = docPoints(t(s, d, "documents"))
+        .withColumn("v", (col("pid") % 100).cast("double"))
+      val qs = Seq((0L, 2.35, 48.85), (1L, -122.4, 37.78), (2L, 151.2, -33.86),
+        (3L, 0.01, 0.01), (4L, 139.69, 35.68)).toDF("qid", "qlon", "qlat")
+      GridInterp.movingAverage(pts, col("lon"), col("lat"), col("v"),
+          qs, col("qid"), col("qlon"), col("qlat"),
+          radius1 = 3.0, radius2 = 2.0, res = 6, noData = -1.0)
+        .select(col("qid"), round(col("avg_v"), 6).as("avg_r"))
+    }),
+    "q_grid_nearest" -> ((s, d) => {
+      import s.implicits._
+      val pts = docPoints(t(s, d, "documents"))
+        .withColumn("v", (col("pid") % 100).cast("double"))
+      val qs = Seq((0L, 2.35, 48.85), (1L, -122.4, 37.78), (2L, 151.2, -33.86),
+        (3L, 0.01, 0.01), (4L, 139.69, 35.68)).toDF("qid", "qlon", "qlat")
+      GridInterp.nearestNeighbor(pts, col("lon"), col("lat"), col("v"),
+          qs, col("qid"), col("qlon"), col("qlat"),
+          radius1 = 1.5, radius2 = 1.5, res = 6, noData = -1.0)
+        .select(col("qid"), round(col("nn_v"), 6).as("nn_r"))
+    }),
+    "q_grid_linear" -> ((s, d) => {
+      import s.implicits._
+      // jittered 10×10 sample grid carrying a planar field: ANY correct
+      // triangulation interpolates a plane exactly, so the oracle is the
+      // plane itself (no triangulation needed on the oracle side)
+      val samples = (0 until 100).map { i =>
+        val x = (i % 10) * 1.0 + ((i * 7919) % 17) / 100.0
+        val y = (i / 10) * 1.0 + ((i * 104729) % 13) / 100.0
+        (i.toLong, x, y, 2.5 * x - 1.25 * y + 3.0)
+      }.toDF("pid", "x", "y", "v")
+      val qs = Seq((0L, 2.6, 3.1), (1L, 5.3, 7.7), (2L, 8.1, 1.9),
+        (3L, 4.4, 4.6), (4L, 1.7, 8.2)).toDF("qid", "qx", "qy")
+      GridInterp.linear(samples, col("x"), col("y"), col("v"),
+          qs, col("qid"), col("qx"), col("qy"), noData = -999.0)
+        .select(col("qid"), round(col("lin_v"), 6).as("lin_r"))
+    }),
+
     // ---------------- overview pyramid / DEM derivatives ----------------
     "q_overview" -> ((s, d) => {
       import s.implicits._
@@ -1024,6 +1063,47 @@ object SparkEntry {
         |  FROM d)
         |SELECT qid, round(sum((1.0 / r2) * v) / sum(1.0 / r2), 6) AS idw_r
         |FROM r WHERE rn <= 8 GROUP BY qid""".stripMargin,
+    "q_grid_moving_avg" ->
+      s"""WITH $docPointsSql,
+        |q(qid, qlon, qlat) AS (VALUES
+        |  (0, 2.35, 48.85), (1, -122.4, 37.78), (2, 151.2, -33.86),
+        |  (3, 0.01, 0.01), (4, 139.69, 35.68)),
+        |cand AS (
+        |  SELECT q.qid, p.pid, (p.lon - q.qlon) AS rx, (p.lat - q.qlat) AS ry,
+        |         CAST(p.pid % 100 AS DOUBLE) AS v
+        |  FROM pts p, q
+        |  WHERE (p.lon - q.qlon) * (p.lon - q.qlon) * 4.0
+        |      + (p.lat - q.qlat) * (p.lat - q.qlat) * 9.0 <= 36.0)
+        |SELECT q.qid, round(CASE WHEN c.n IS NULL OR c.n < 1 THEN -1.0
+        |                         ELSE c.s / c.n END, 6) AS avg_r
+        |FROM q LEFT JOIN (SELECT qid, sum(v) AS s, count(*) AS n
+        |                  FROM cand GROUP BY qid) c ON c.qid = q.qid""".stripMargin,
+    "q_grid_nearest" ->
+      s"""WITH $docPointsSql,
+        |q(qid, qlon, qlat) AS (VALUES
+        |  (0, 2.35, 48.85), (1, -122.4, 37.78), (2, 151.2, -33.86),
+        |  (3, 0.01, 0.01), (4, 139.69, 35.68)),
+        |cand AS (
+        |  SELECT q.qid, p.lon, p.lat, CAST(p.pid % 100 AS DOUBLE) AS v,
+        |    (p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat) AS r2
+        |  FROM pts p, q
+        |  WHERE (p.lon - q.qlon) * (p.lon - q.qlon) * 2.25
+        |      + (p.lat - q.qlat) * (p.lat - q.qlat) * 2.25 <= 5.0625),
+        |best AS (
+        |  SELECT qid, v, row_number() OVER (PARTITION BY qid ORDER BY r2, lon, lat) AS rn
+        |  FROM cand)
+        |SELECT q.qid, round(coalesce(b.v, -1.0), 6) AS nn_r
+        |FROM q LEFT JOIN (SELECT qid, v FROM best WHERE rn = 1) b ON b.qid = q.qid""".stripMargin,
+    "q_grid_linear" ->
+      // planar field: linear interpolation returns the plane exactly;
+      // plane values at the 5 query sites (2.5x − 1.25y + 3)
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(5.625 AS DOUBLE)),
+        |  (CAST(1 AS BIGINT), CAST(6.625 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(20.875 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), CAST(8.25 AS DOUBLE)),
+        |  (CAST(4 AS BIGINT), CAST(-3.0 AS DOUBLE)))
+        |AS t(qid, lin_r)""".stripMargin,
     "q_overview" ->
       """SELECT * FROM (VALUES
         |  (0,0,119), (1,0,126), (2,0,127), (0,1,132), (1,1,130), (2,1,123),

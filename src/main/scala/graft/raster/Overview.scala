@@ -100,6 +100,112 @@ object Overview {
     }
   }
 
+  // ------------------------------------------------------------------
+  // GAUSS (exact port) and convolution resamplers (CUBIC / CUBICSPLINE /
+  // LANCZOS via the shared warp kernels — an overview IS a 2× affine warp)
+  // ------------------------------------------------------------------
+
+  /** GAUSS 2× level — exact port of GDALResampleChunk32R_Gauss
+    * (`/root/reference/gdal/gcore/overview.cpp:521`): for the 2× ratio the
+    * 3×3 binomial window anchors at (2ox, 2oy), clips at the raster
+    * bounds, and normalizes by the used-weight sum; byte output via the
+    * CopyWords float→byte rounding. Needs one halo row below each strip
+    * (window rows 2oy..2oy+2) — exchanged by shuffle.
+    */
+  def levelGauss(spark: SparkSession, strips: Dataset[IStrip], w: Int, h: Int): Dataset[IStrip] = {
+    import spark.implicits._
+    strips.flatMap { s =>
+      val parts = Seq.newBuilder[(Int, Int, IStrip)]
+      parts += ((s.stripIdx, 0, s))
+      if (s.stripIdx > 0 && s.height >= 1)
+        parts += ((s.stripIdx - 1, 2, IStrip(s.stripIdx, s.yOff, 1, w,
+          java.util.Arrays.copyOfRange(s.vals, 0, w))))
+      parts.result()
+    }.groupByKey(_._1).flatMapGroups { (_, it) =>
+      var strip: IStrip = null
+      var below: Array[Int] = null
+      it.foreach { case (_, kind, p) => if (kind == 0) strip = p else below = p.vals }
+      if (strip == null) Iterator.empty
+      else {
+        require(strip.yOff % 2 == 0, s"strip yOff ${strip.yOff} not 2-aligned")
+        val ow = (w + 1) / 2
+        val oh = (strip.height + 1) / 2
+        val weights = Array(1, 2, 1)
+        @inline def v(gy: Int, x: Int): Int = {
+          val ly = gy - strip.yOff
+          if (ly < strip.height) strip.vals(ly * w + x) else below(x)
+        }
+        val out = new Array[Int](ow * oh)
+        var oy = 0
+        while (oy < oh) {
+          val gy0 = strip.yOff + oy * 2
+          val yEnd = math.min(gy0 + 3, h)
+          var ox = 0
+          while (ox < ow) {
+            val x0 = ox * 2
+            val xEnd = math.min(x0 + 3, w)
+            var total = 0L; var count = 0L
+            var gy = gy0
+            while (gy < yEnd) {
+              val wy = weights(gy - gy0)
+              var x = x0
+              while (x < xEnd) {
+                val wt = wy * weights(x - x0)
+                total += v(gy, x).toLong * wt
+                count += wt
+                x += 1
+              }
+              gy += 1
+            }
+            out(oy * ow + ox) = Translate.toByte(total.toDouble / count)
+            ox += 1
+          }
+          oy += 1
+        }
+        Iterator.single(IStrip(strip.stripIdx, strip.yOff / 2, oh, ow, out))
+      }
+    }
+  }
+
+  /** Convolution 2× level: delegates to the warp kernel family with a
+    * 2× affine dst grid — the anti-aliasing filter scale (0.5) and the
+    * edge-clipped normalization come from the shared
+    * [[Warp.generalResample]] path. Byte output via CopyWords rounding.
+    */
+  def levelConvolution(spark: SparkSession, strips: Dataset[IStrip], w: Int, h: Int,
+                       kernel: Warp.Kernel): Dataset[IStrip] = {
+    import spark.implicits._
+    val ow = (w + 1) / 2
+    val oh = (h + 1) / 2
+    val d = strips.map(s => Dem.DStrip(s.stripIdx, s.yOff, s.height,
+      s.vals.map(_.toDouble)))
+    val srcGt = graft.core.GeoTransform.northUp(0, h, 1, 1)
+    val dstGt = graft.core.GeoTransform.northUp(0, h, 2, 2)
+    Warp.warp(spark, d, w, h, srcGt,
+        Warp.DstSpec(ow, oh, dstGt, stripHeight = math.max(1, oh / math.max(1, 4))),
+        kernel = kernel, noData = 0.0)
+      .map(st => IStrip(st.stripIdx, st.yOff, st.height, ow,
+        st.vals.map(Translate.toByte)))
+  }
+
+  /** Local Gauss reference for tests (same math, whole raster). */
+  def gaussLocal(vals: Array[Int], w: Int, h: Int): (Array[Int], Int, Int) = {
+    val ow = (w + 1) / 2; val oh = (h + 1) / 2
+    val weights = Array(1, 2, 1)
+    val out = new Array[Int](ow * oh)
+    for (oy <- 0 until oh; ox <- 0 until ow) {
+      val y0 = oy * 2; val x0 = ox * 2
+      var total = 0L; var count = 0L
+      for (y <- y0 until math.min(y0 + 3, h); x <- x0 until math.min(x0 + 3, w)) {
+        val wt = weights(y - y0) * weights(x - x0)
+        total += vals(y * w + x).toLong * wt
+        count += wt
+      }
+      out(oy * ow + ox) = Translate.toByte(total.toDouble / count)
+    }
+    (out, ow, oh)
+  }
+
   /** Single-node reference for tests. */
   def downsampleLocal(vals: Array[Int], w: Int, h: Int, r: Resampler): (Array[Int], Int, Int) = {
     val s = downsampleStrip(IStrip(0, 0, h, w, vals), r)

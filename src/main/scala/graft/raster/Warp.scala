@@ -88,14 +88,14 @@ object Warp {
   @inline private def samplePixel(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
                                   c: Int, gy: Int, dstGt: GeoTransform, tx: GeoTx,
                                   srcInv: GeoTransform, kernel: Kernel,
-                                  noData: Double): Double = kernel match {
+                                  noData: Double, xScale: Double, yScale: Double): Double = kernel match {
     case rk: RectKernel =>
       val (px1, py1) = srcCornerOf(c, gy, dstGt, tx, srcInv)
       val (px2, py2) = srcCornerOf(c + 1.0, gy + 1.0, dstGt, tx, srcInv)
       sampleRect(rows, srcW, srcH, px1, py1, px2, py2, rk, noData)
     case _ =>
       val (px, py) = srcPixelOf(c, gy, dstGt, tx, srcInv)
-      sample(rows, srcW, srcH, px, py, kernel, noData)
+      sample(rows, srcW, srcH, px, py, kernel, noData, xScale, yScale)
   }
 
   /** CubicConvolution (`gdalwarpkernel.cpp:2252`). */
@@ -129,7 +129,8 @@ object Warp {
 
   @inline private def sample(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
                              px: Double, py: Double, kernel: Kernel,
-                             noData: Double): Double = kernel match {
+                             noData: Double, xScale: Double = 1.0,
+                             yScale: Double = 1.0): Double = kernel match {
     case Nearest =>
       val ix = math.floor(px).toInt
       val iy = math.floor(py).toInt
@@ -170,40 +171,45 @@ object Warp {
         }
         cubicConv(dy, dy2, dy3, rowConv(-1), rowConv(0), rowConv(1), rowConv(2))
       }
-    case CubicSpline => generalResample(rows, srcW, srcH, px, py, 2, bsplineW, noData)
-    case Lanczos     => generalResample(rows, srcW, srcH, px, py, 3, lanczosW, noData)
+    case CubicSpline => generalResample(rows, srcW, srcH, px, py, 2, bsplineW, noData, xScale, yScale)
+    case Lanczos     => generalResample(rows, srcW, srcH, px, py, 3, lanczosW, noData, xScale, yScale)
     case _: RectKernel =>
       throw new IllegalStateException("rect kernels sample via sampleRect")
   }
 
-  /** GWKResampleNoMasksT (`gdalwarpkernel.cpp:3161`) with XScale=YScale=1:
-    * edge-clipped weight window, result = Σ w·v / (ΣwH · ΣwV).
+  /** GWKResampleNoMasksT (`gdalwarpkernel.cpp:3161`): edge-clipped weight
+    * window, result = Σ w·v / (ΣwH · ΣwV). `xScale`/`yScale` < 1 widen the
+    * filter for downsampling (anti-aliasing), as the reference clamps
+    * dfXScale to ≤ 1 and scales both the weight argument and the radius.
     */
-  private def generalResample(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
-                              px: Double, py: Double, radius: Int,
-                              weight: Double => Double, noData: Double): Double = {
+  private[raster] def generalResample(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
+                                      px: Double, py: Double, radius: Int,
+                                      weight: Double => Double, noData: Double,
+                                      xScale: Double, yScale: Double): Double = {
     val iSrcX = math.floor(px - 0.5).toInt
     val iSrcY = math.floor(py - 0.5).toInt
     if (iSrcX >= srcW || iSrcY >= srcH || px < 0 || py < 0)
       return sample(rows, srcW, srcH, px, py, Bilinear, noData)
     val dX = px - 0.5 - iSrcX
     val dY = py - 0.5 - iSrcY
-    var iMin = 1 - radius
+    val xRadius = if (xScale < 1.0) math.ceil(radius / xScale).toInt else radius
+    val yRadius = if (yScale < 1.0) math.ceil(radius / yScale).toInt else radius
+    var iMin = 1 - xRadius
     if (iSrcX + iMin < 0) iMin = -iSrcX
-    var iMax = radius
+    var iMax = xRadius
     if (iSrcX + iMax >= srcW - 1) iMax = srcW - 1 - iSrcX
     val w = new Array[Double](iMax - iMin + 1)
     var sumH = 0.0
     var i = iMin
     while (i <= iMax) {
-      val wi = weight((i - dX) * 1.0)
+      val wi = weight((i - dX) * xScale)
       w(i - iMin) = wi
       sumH += wi
       i += 1
     }
-    var jMin = 1 - radius
+    var jMin = 1 - yRadius
     if (iSrcY + jMin < 0) jMin = -iSrcY
-    var jMax = radius
+    var jMax = yRadius
     if (iSrcY + jMax >= srcH - 1) jMax = srcH - 1 - iSrcY
     var acc = 0.0
     var sumV = 0.0
@@ -217,7 +223,7 @@ object Warp {
         local += r(iSrcX + i) * w(i - iMin)
         i += 1
       }
-      val wj = weight((j - dY) * 1.0)
+      val wj = weight((j - dY) * yScale)
       acc += wj * local
       sumV += wj
       j += 1
@@ -349,9 +355,11 @@ object Warp {
     val nDst = (dst.height + dst.stripHeight - 1) / dst.stripHeight
 
     // driver-side: source row range per dst strip from outline samples
-    // (margin 4 covers the widest center-sampled kernel, Lanczos radius 3;
-    // rect kernels additionally sample the outer pixel CORNERS below)
-    val margin = 4
+    // (covers the widest center-sampled kernel: Lanczos radius 3 widened
+    // by the downsampling filter scale; rect kernels additionally sample
+    // the outer pixel CORNERS below)
+    val (xsM, ysM) = filterScales(dst, tx, srcInv)
+    val margin = math.max(4, (if (ysM < 1.0) math.ceil(3 / ysM).toInt else 3) + 1)
     val ranges: Array[(Int, Int)] = Array.tabulate(nDst) { st =>
       val y0 = st * dst.stripHeight
       val y1 = math.min(dst.height, y0 + dst.stripHeight) - 1
@@ -398,6 +406,7 @@ object Warp {
     val sentinels = spark.range(nDst).map(st => (st.toInt, -1, Array.empty[Double]))
     val dstW = dst.width; val dstH = dst.height; val stripH = dst.stripHeight
     val dstGt = dst.gt; val k = kernel; val nd = noData
+    val (xs, ys) = filterScales(dst, tx, srcInv)
     rows.union(sentinels).groupByKey(_._1).mapGroups { (st, it) =>
       val srcRows: Map[Int, Array[Double]] = it.filter(_._2 >= 0).map(t => t._2 -> t._3).toMap
       val y0 = st * stripH
@@ -407,13 +416,28 @@ object Warp {
       while (r < hh) {
         var c = 0
         while (c < dstW) {
-          out(r * dstW + c) = samplePixel(srcRows, srcW, srcH, c, y0 + r, dstGt, tx, srcInv, k, nd)
+          out(r * dstW + c) = samplePixel(srcRows, srcW, srcH, c, y0 + r, dstGt, tx, srcInv, k, nd, xs, ys)
           c += 1
         }
         r += 1
       }
       DStrip(st, y0, hh, out)
     }
+  }
+
+  /** Filter scale = dst samples per src pixel, clamped to ≤ 1 (the
+    * reference's dfXScale/dfYScale), estimated from adjacent dst pixel
+    * centers at the grid middle — exact for affine pairs, a good local
+    * estimate for curved transforms.
+    */
+  private def filterScales(dst: DstSpec, tx: GeoTx, srcInv: GeoTransform): (Double, Double) = {
+    val cx = dst.width / 2; val cy = dst.height / 2
+    val (px0, py0) = srcPixelOf(cx, cy, dst.gt, tx, srcInv)
+    val (px1, _) = srcPixelOf(cx + 1, cy, dst.gt, tx, srcInv)
+    val (_, py1) = srcPixelOf(cx, cy + 1, dst.gt, tx, srcInv)
+    val kx = math.abs(px1 - px0) // src pixels per dst step in x
+    val ky = math.abs(py1 - py0)
+    (if (kx > 1.0) 1.0 / kx else 1.0, if (ky > 1.0) 1.0 / ky else 1.0)
   }
 
   /** Single-node reference for tests. */
@@ -424,9 +448,9 @@ object Warp {
     val rows: Map[Int, Array[Double]] = (0 until srcH).map(y =>
       y -> java.util.Arrays.copyOfRange(vals, y * srcW, (y + 1) * srcW)).toMap
     val out = new Array[Double](dst.width * dst.height)
-    for (y <- 0 until dst.height; x <- 0 until dst.width) {
-      out(y * dst.width + x) = samplePixel(rows, srcW, srcH, x, y, dst.gt, tx, srcInv, kernel, noData)
-    }
+    val (xs, ys) = filterScales(dst, tx, srcInv)
+    for (y <- 0 until dst.height; x <- 0 until dst.width)
+      out(y * dst.width + x) = samplePixel(rows, srcW, srcH, x, y, dst.gt, tx, srcInv, kernel, noData, xs, ys)
     out
   }
 }
