@@ -228,6 +228,10 @@ object SparkEntry {
         sum(floor(col("o_totalprice") * 100).cast("long"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_c"))
     }),
+    "q_avg_datetime" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(OgrSql.avgDatetime(col("ts")).as("avg_ts"),
+          count(lit(1)).as("n"))),
     "q_events_hourly" -> ((s, d) => {
       t(s, d, "events").groupBy(col("event_type"),
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"))
@@ -648,6 +652,30 @@ object SparkEntry {
         .select(col("left_key"), round(gf.st_area(col("wkb")), 6).as("area_r"))
     }),
 
+    "q_curve" -> ((s, d) => {
+      import s.implicits._
+      // ogr_geom.py:2233-2269 curve expectations as boolean flags
+      val inX = 1 + math.cos(math.Pi / 6) - 1e-4
+      val inY = math.sin(math.Pi / 6)
+      val outX = 1 + math.cos(math.Pi / 6) + 1e-4
+      val circle = "CURVEPOLYGON (CIRCULARSTRING (0 0,2 0,0 0))"
+      val twoArc = "CURVEPOLYGON (CIRCULARSTRING (0 0,1 1,2 0,1 -1,0 0))"
+      val reversed = "CURVEPOLYGON (CIRCULARSTRING (0 0,1 -1,2 0,1 1,0 0))"
+      val notCircle = "CURVEPOLYGON (CIRCULARSTRING (0 0,1 1,2 0,1 1,0 0))"
+      Seq((circle, inX, inY, 45.0, "pip_inside_45"),
+        (circle, outX, inY, 45.0, "pip_outside_45"),
+        (twoArc, inX, inY, 4.0, "two_arc_circle"),
+        (reversed, inX, inY, 4.0, "reversed_circle"),
+        (notCircle, 1 + math.cos(math.Pi / 6) - 1e-2, inY, 4.0, "not_circle"))
+        .toDF("wkt", "px", "py", "step", "test_case")
+        .select(col("test_case"),
+          gf.st_curve_contains_point(col("wkt"), col("px"), col("py"), col("step"))
+            .cast("int").as("flag"),
+          // linearized area sanity: 4° stroked unit circle within 0.01 of π
+          (abs(gf.st_area(gf.st_curvetoline(lit(circle), lit(4.0))) - math.Pi) < 0.01)
+            .cast("int").as("area_ok"))
+    }),
+
     // ---------------- DEM family (distributed 3×3 over strips) ----------------
     "q_aspect" -> ((s, d) =>
       demEmit(graft.raster.Dem.aspect(s, demGridStrips(s, 9), 40, 30), "asp_r")),
@@ -772,6 +800,17 @@ object SparkEntry {
     "q_graph_sssp" -> ((s, d) =>
       GraphOps.shortestPaths(graphEdges(s), col("src"), col("dst"), col("w"), 0L)
         .select(col("vertex"), col("dist").cast("long").as("dist_i"))),
+    "q_graph_kshortest" -> ((s, d) => {
+      import s.implicits._
+      // 4×3 grid DAG: right + down edges, deterministic integer weights;
+      // every 0→11 path has exactly 5 hops
+      val rights = for (r <- 0 until 4; c <- 0 until 2) yield (r * 3 + c, r * 3 + c + 1)
+      val downs = for (r <- 0 until 3; c <- 0 until 3) yield (r * 3 + c, (r + 1) * 3 + c)
+      val edges = (rights ++ downs).toDF("u", "v")
+        .withColumn("w", ((col("u") * 7 + col("v") * 13) % 10 + 1).cast("double"))
+      GraphOps.kShortestPaths(edges, col("u"), col("v"), col("w"), 0L, 11L, 4)
+        .select(col("rank"), col("cost").cast("long").as("cost_i"), col("n_hops"))
+    }),
 
     // ---------------- streaming-ish incremental (events) ----------------
     "q_sessionize" -> ((s, d) => {
@@ -941,6 +980,12 @@ object SparkEntry {
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_c
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_avg_datetime" ->
+      """SELECT event_type,
+        |  strftime(to_timestamp(CAST(floor(avg(epoch(ts))) AS BIGINT)),
+        |           '%Y/%m/%d %H:%M:%S') AS avg_ts,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_events_hourly" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
         |  count(*) AS n,
@@ -1259,6 +1304,12 @@ object SparkEntry {
         |  lang AS lang_declared
         |FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_pt, h_ru) AS m FROM h)""".stripMargin,
     "q_fingerprint" -> graft.fixtures.FingerprintOracle.valuesSql,
+    "q_curve" ->
+      """SELECT * FROM (VALUES
+        |  ('pip_inside_45', 1, 1), ('pip_outside_45', 0, 1),
+        |  ('two_arc_circle', 1, 1), ('reversed_circle', 1, 1),
+        |  ('not_circle', 0, 1))
+        |AS t(test_case, flag, area_ok)""".stripMargin,
     "q_overlay" ->
       // closed-form axis-aligned rect overlap
       """WITH a AS (
@@ -1388,6 +1439,26 @@ object SparkEntry {
         |  SELECT 0, 0
         |  UNION ALL
         |  SELECT e.dst, d.dist + e.w FROM d JOIN edges e ON e.src = d.v)
-        |SELECT CAST(v AS BIGINT) AS vertex, CAST(dist AS BIGINT) AS dist_i FROM d""".stripMargin
+        |SELECT CAST(v AS BIGINT) AS vertex, CAST(dist AS BIGINT) AS dist_i FROM d""".stripMargin,
+    "q_graph_kshortest" ->
+      // full path enumeration on the DAG (10 paths) ranks the same top-4
+      // costs Yen's algorithm returns
+      """WITH RECURSIVE
+        |rights AS (SELECT r * 3 + c AS u, r * 3 + c + 1 AS v
+        |           FROM (SELECT unnest(generate_series(0, 3)) AS r),
+        |                (SELECT unnest(generate_series(0, 1)) AS c)),
+        |downs AS (SELECT r * 3 + c AS u, (r + 1) * 3 + c AS v
+        |          FROM (SELECT unnest(generate_series(0, 2)) AS r),
+        |               (SELECT unnest(generate_series(0, 2)) AS c)),
+        |e AS (SELECT u, v, ((u * 7 + v * 13) % 10) + 1 AS w
+        |      FROM (SELECT * FROM rights UNION ALL SELECT * FROM downs)),
+        |p(v, cost) AS (
+        |  SELECT 0, 0
+        |  UNION ALL
+        |  SELECT e.v, p.cost + e.w FROM p JOIN e ON e.u = p.v)
+        |SELECT CAST(rank AS INT) AS rank, CAST(cost AS BIGINT) AS cost_i,
+        |       CAST(5 AS INT) AS n_hops
+        |FROM (SELECT cost, row_number() OVER (ORDER BY cost) AS rank
+        |      FROM p WHERE v = 11 ORDER BY cost LIMIT 4)""".stripMargin
   )
 }

@@ -446,6 +446,48 @@ case class StForce(child: Expression, toMulti: Boolean) extends UnaryExpression 
   override def prettyName: String = if (toMulti) "st_force_multipolygon" else "st_force_polygon"
 }
 
+/** Curve runtime shims. */
+object CurveRt {
+  def toLine(wkt: UTF8String, stepDeg: Double): Array[Byte] =
+    Geom.toWkb(graft.core.Curves.linearize(
+      graft.core.Curves.fromWkt(wkt.toString), stepDeg))
+  def containsPoint(wkt: UTF8String, x: Double, y: Double, stepDeg: Double): Boolean =
+    graft.core.Curves.containsPoint(graft.core.Curves.fromWkt(wkt.toString), x, y, stepDeg)
+}
+
+/** st_curvetoline(curveWkt, maxStepDeg) -> wkb (getLinearGeometry). */
+case class StCurveToLine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(w: Any, s: Any): Any =
+    CurveRt.toLine(w.asInstanceOf[UTF8String], s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, s) => s"graft.expr.CurveRt.toLine($w, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_curvetoline"
+}
+
+/** st_curve_contains_point(curveWkt, x, y, stepDeg) — exact for single
+  * full circles (no discretization), stroked ray-cast otherwise.
+  */
+case class StCurveContainsPoint(first: Expression, second: Expression,
+                                third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(w: Any, x: Any, y: Any, s: Any): Any =
+    CurveRt.containsPoint(w.asInstanceOf[UTF8String], x.asInstanceOf[Double],
+      y.asInstanceOf[Double], s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, x, y, s) =>
+      s"graft.expr.CurveRt.containsPoint($w, $x, $y, $s)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "st_curve_contains_point"
+}
+
 /** st_convexhull(wkb) -> wkb */
 case class StConvexHull(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType

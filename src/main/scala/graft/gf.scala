@@ -47,6 +47,11 @@ object gf {
   def st_force_polygon(g: Column): Column = col(StForce(x(g), toMulti = false))
   def st_force_multipolygon(g: Column): Column = col(StForce(x(g), toMulti = true))
   def st_convexhull(g: Column): Column = col(StConvexHull(x(g)))
+  def st_curvetoline(wkt: Column, maxStepDeg: Column): Column =
+    col(StCurveToLine(x(wkt), x(maxStepDeg.cast("double"))))
+  def st_curve_contains_point(wkt: Column, px: Column, py: Column, stepDeg: Column): Column =
+    col(StCurveContainsPoint(x(wkt), x(px.cast("double")), x(py.cast("double")),
+      x(stepDeg.cast("double"))))
   def st_simplify(g: Column, tol: Column): Column = col(StSimplify(x(g), x(tol.cast("double"))))
   def st_segmentize(g: Column, maxLen: Column): Column = col(StSegmentize(x(g), x(maxLen.cast("double"))))
 

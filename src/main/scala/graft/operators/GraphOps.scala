@@ -50,6 +50,98 @@ object GraphOps {
     labels
   }
 
+  /** K shortest loopless paths — Yen's algorithm over Dijkstra, the
+    * re-expression of `gnm/gnmgraph.cpp:240` KShortestPaths. The reference
+    * holds the whole network in memory; this collects the (broadcastable)
+    * edge list and runs the spur iterations locally — the distributed
+    * [[shortestPaths]] remains the path for graphs that don't fit.
+    *
+    * @return (rank, cost, n_hops, path) rows, rank 1..k by ascending cost
+    *         (ties by lexicographic vertex path, a deterministic stand-in
+    *         for the reference's multimap insertion order)
+    */
+  def kShortestPaths(edges: DataFrame, src: Column, dst: Column, weight: Column,
+                     from: Long, to: Long, k: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(src.cast("long"), dst.cast("long"), weight.cast("double"))
+      .as[(Long, Long, Double)].collect()
+
+    type Path = Vector[Long]
+    def dijkstra(banNodes: Set[Long], banEdges: Set[(Long, Long)],
+                 s: Long, t: Long): Option[(Double, Path)] = {
+      val adj = es.iterator
+        .filter(e => !banNodes.contains(e._1) && !banNodes.contains(e._2) &&
+          !banEdges.contains((e._1, e._2)))
+        .toSeq.groupBy(_._1)
+      val dist = scala.collection.mutable.HashMap[Long, Double](s -> 0.0)
+      val prev = scala.collection.mutable.HashMap[Long, Long]()
+      val done = scala.collection.mutable.HashSet[Long]()
+      val pq = scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by(x => (-x._1, -x._2)))
+      pq.enqueue((0.0, s))
+      while (pq.nonEmpty && !done.contains(t)) {
+        val (d, u) = pq.dequeue()
+        if (!done.contains(u) && d <= dist.getOrElse(u, Double.MaxValue)) {
+          done += u
+          adj.getOrElse(u, Seq.empty).foreach { case (_, v, w) =>
+            val nd = d + w
+            if (nd < dist.getOrElse(v, Double.MaxValue)) {
+              dist(v) = nd; prev(v) = u
+              pq.enqueue((nd, v))
+            }
+          }
+        }
+      }
+      dist.get(t).map { d =>
+        var path = Vector(t)
+        while (path.head != s) path = prev(path.head) +: path
+        (d, path)
+      }
+    }
+
+    def pathCost(p: Path): Double =
+      p.sliding(2).map { case Vector(u, v) =>
+        es.find(e => e._1 == u && e._2 == v).map(_._3).getOrElse(0.0)
+      }.sum
+
+    val first = dijkstra(Set.empty, Set.empty, from, to)
+    val a = scala.collection.mutable.ArrayBuffer[(Double, Path)]()
+    first.foreach(a += _)
+    // candidate pool, kept sorted by (cost, path)
+    implicit val pathOrd: Ordering[(Double, Path)] =
+      Ordering.by(t => (t._1, t._2.mkString(",")))
+    val b = scala.collection.mutable.SortedSet.empty[(Double, Path)]
+    var ki = 1
+    while (ki < k && a.nonEmpty && (a.length == ki)) {
+      val prevPath = a(ki - 1)._2
+      for (i <- 0 until prevPath.length - 1) {
+        val spurNode = prevPath(i)
+        val rootPath = prevPath.take(i + 1)
+        // ban the next edge of every accepted path sharing this root
+        val banEdges = a.iterator.map(_._2)
+          .filter(p => p.length > i && p.take(i + 1) == rootPath)
+          .collect { case p if p.length > i + 1 => (p(i), p(i + 1)) }
+          .toSet
+        val banNodes = rootPath.dropRight(1).toSet
+        dijkstra(banNodes, banEdges, spurNode, to).foreach { case (_, spur) =>
+          val total = rootPath.dropRight(1) ++ spur
+          val cand = (pathCost(total), total)
+          if (!a.exists(_._2 == total)) b += cand
+        }
+      }
+      if (b.nonEmpty) {
+        val best = b.head
+        b.remove(best)
+        a += best
+      }
+      ki += 1
+    }
+    a.iterator.zipWithIndex.map { case ((cost, path), idx) =>
+      (idx + 1, cost, path.length - 1, path.mkString("-"))
+    }.toSeq.toDF("rank", "cost", "n_hops", "path")
+  }
+
   /** Single-source shortest paths by iterative relaxation (distributed
     * Bellman-Ford; equals Dijkstra's result on non-negative weights).
     *

@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
   */
 object OgrSql {
 
+  /** OGR SQL AVG over DATETIME (`/root/reference/gdal/ogr/swq.cpp:430-450`):
+    * values sum as Unix seconds INCLUDING the fractional second, and the
+    * average renders back as an OGR datetime string (YYYY/MM/DD HH:MM:SS,
+    * seconds truncated like the integer cast in the reference's formatter).
+    */
+  def avgDatetime(ts: Column): Column =
+    date_format(
+      timestamp_seconds(floor(avg(
+        ts.cast("timestamp").cast("double"))).cast("long")), // NTZ → epoch via session TZ
+      "yyyy/MM/dd HH:mm:ss")
+
+  /** OGR_STYLE special field (`gdal/ogr/ogrfeaturequery.cpp:45`): the
+    * feature style string; data sources without style metadata return
+    * NULL, which is the case for every source this engine reads — the
+    * field exists for SQL-surface completeness.
+    */
+  def ogrStyle(df: DataFrame, styleCol: Option[Column] = None): Column =
+    styleCol.getOrElse(lit(null).cast("string")).as("OGR_STYLE")
+
   /** OGR LEFT JOIN: exactly ONE output row per primary row, joined fields
     * from the FIRST matching secondary row, NULLs when none
     * (`ogr_sql.dox:455-461` "not true LEFT or RIGHT joins";

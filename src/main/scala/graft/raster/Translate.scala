@@ -130,4 +130,49 @@ object Translate {
     val f = scaleFn(srcMin, srcMax, dstMin, dstMax)
     strips.map(s => s.copy(vals = s.vals.map(v => toByte(f(v)))))
   }
+
+  /** `-outsize -r <kernel>` resampled resize: the RasterIO resampled path
+    * maps dst centers to src px `(dst + 0.5) · srcSize / dstSize`, which is
+    * exactly a scaling affine warp — composed from the shared warp kernels
+    * (Bilinear/Cubic/CubicSpline/Lanczos/Average/Mode/…). Output values
+    * convert with CopyWords rounding (`convert`, byte by default).
+    */
+  def resizeResampled(strips: Dataset[IStrip], srcW: Int, srcH: Int,
+                      dstW: Int, dstH: Int, kernel: Warp.Kernel,
+                      dstStripH: Int = 256,
+                      convert: Double => Int = toByte): Dataset[IStrip] = {
+    import strips.sparkSession.implicits._
+    val spark = strips.sparkSession
+    val d = strips.map(s => Dem.DStrip(s.stripIdx, s.yOff, s.height,
+      s.vals.map(_.toDouble)))
+    val srcGt = graft.core.GeoTransform.northUp(0, srcH, 1, 1)
+    val dstGt = graft.core.GeoTransform.northUp(0, srcH,
+      srcW.toDouble / dstW, srcH.toDouble / dstH)
+    Warp.warp(spark, d, srcW, srcH, srcGt,
+        Warp.DstSpec(dstW, dstH, dstGt, stripHeight = dstStripH),
+        kernel = kernel, noData = 0.0)
+      .map(st => IStrip(st.stripIdx, st.yOff, st.height, dstW,
+        st.vals.map(convert)))
+  }
+
+  /** `-expand rgb`: paletted single band → RGB planes via the color table
+    * (`gdal_translate_lib.cpp` -expand; a pure per-pixel LUT map, fully
+    * parallel). Out-of-range indices map to (0,0,0) like a missing entry.
+    */
+  def expandRgb(strips: Dataset[IStrip], palette: Array[Palette.Color]): Dataset[Palette.RGBStrip] = {
+    import strips.sparkSession.implicits._
+    strips.map { s =>
+      val n = s.vals.length
+      val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val idx = s.vals(i)
+        if (idx >= 0 && idx < palette.length) {
+          r(i) = palette(idx).r; g(i) = palette(idx).g; b(i) = palette(idx).b
+        }
+        i += 1
+      }
+      Palette.RGBStrip(s.stripIdx, s.yOff, s.height, r, g, b)
+    }
+  }
 }

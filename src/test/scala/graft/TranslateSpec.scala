@@ -59,4 +59,28 @@ class TranslateSpec extends AnyFunSuite {
     assert(out.toSeq === grid.map(v => Translate.toByte(f(v))).toSeq)
     assert(out.min === 0 && out.max === 255)
   }
+
+  test("resizeResampled bilinear/average match the warp-kernel local path") {
+    for (k <- Seq(graft.raster.Warp.Bilinear, graft.raster.Warp.Average,
+        graft.raster.Warp.Cubic)) {
+      val got = Translate.resizeResampled(strips(3), W, H, 10, 14, k, dstStripH = 5)
+        .collect().sortBy(_.yOff).flatMap(_.vals).toSeq
+      val local = graft.raster.Warp.warpLocal(grid.map(_.toDouble), W, H,
+        graft.core.GeoTransform.northUp(0, H, 1, 1),
+        graft.raster.Warp.DstSpec(10, 14,
+          graft.core.GeoTransform.northUp(0, H, W.toDouble / 10, H.toDouble / 14)),
+        kernel = k).map(Translate.toByte).toSeq
+      assert(got === local, s"kernel $k")
+    }
+  }
+
+  test("expandRgb maps palette indices to RGB planes") {
+    val pal = Array(graft.raster.Palette.Color(10, 20, 30), graft.raster.Palette.Color(200, 100, 50))
+    val idx = strips(4).map(s => s.copy(vals = s.vals.map(_ % 2)))(
+      org.apache.spark.sql.Encoders.product[graft.raster.Overview.IStrip])
+    val rgb = Translate.expandRgb(idx, pal).collect().sortBy(_.yOff)
+    val flat = rgb.flatMap(s => s.r.indices.map(i => (s.r(i), s.g(i), s.b(i))))
+    val expect = grid.map(_ % 2).map(i => (pal(i).r, pal(i).g, pal(i).b)).toSeq
+    assert(flat.toSeq === expect)
+  }
 }
