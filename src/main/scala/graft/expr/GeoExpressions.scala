@@ -446,6 +446,22 @@ case class StForce(child: Expression, toMulti: Boolean) extends UnaryExpression 
   override def prettyName: String = if (toMulti) "st_force_multipolygon" else "st_force_polygon"
 }
 
+/** st_buffer(wkb, dist) -> wkb (GEOS-style quadSegs=8 circles; convex
+  * offset; concave rings via convex hull — see GeomClip.buffer).
+  */
+case class StBuffer(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, d: Any): Any =
+    Geom.toWkb(graft.core.GeomClip.buffer(
+      GeoRt.decode(b.asInstanceOf[Array[Byte]]), d.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, d) => s"graft.expr.GeoFn.buffer($b, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_buffer"
+}
+
 /** Curve runtime shims. */
 object CurveRt {
   def toLine(wkt: UTF8String, stepDeg: Double): Array[Byte] =
@@ -530,6 +546,8 @@ case class StSegmentize(left: Expression, right: Expression) extends BinaryExpre
 
 /** String-typed helpers reachable from generated code (UTF8String in/out). */
 object GeoFn {
+  def buffer(b: Array[Byte], d: Double): Array[Byte] =
+    Geom.toWkb(graft.core.GeomClip.buffer(GeoRt.decode(b), d))
   def convexHull(b: Array[Byte]): Array[Byte] =
     Geom.toWkb(graft.core.GeomBuild.convexHull(GeoRt.decode(b)))
   def simplify(b: Array[Byte], t: Double): Array[Byte] =

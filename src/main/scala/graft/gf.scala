@@ -40,6 +40,7 @@ object gf {
     col(StTransform(x(g), x(lit(srcSrid)), x(lit(dstSrid))))
 
   // ---- constructive ops ----
+  def st_buffer(g: Column, dist: Column): Column = col(StBuffer(x(g), x(dist.cast("double"))))
   def st_intersection(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 0))
   def st_union(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 1))
   def st_difference(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 2))
@@ -128,6 +129,7 @@ object gf {
     r1("cells_covering", es => CellsCovering(es(0), i(es(1))))
     r1("geo_extract", es => GeoExtract(es.head))
     r1("st_convexhull", es => StConvexHull(es.head))
+    r1("st_buffer", es => StBuffer(es(0), d(es(1))))
     r1("st_intersection", es => StOverlay(es(0), es(1), 0))
     r1("st_union", es => StOverlay(es(0), es(1), 1))
     r1("st_difference", es => StOverlay(es(0), es(1), 2))

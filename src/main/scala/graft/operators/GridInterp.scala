@@ -40,7 +40,7 @@ object GridInterp {
                          minPoints: Int = 1, noData: Double = 0.0): DataFrame = {
     val pts = points.withColumn("__v", value)
     val knn = KnnJoin(pts, lon, lat, queries, qid, qlon, qlat, k, res,
-      tieBreak = Seq(lon, lat))
+      initialRing = 2, tieBreak = Seq(lon, lat))
     // weight 1/(r2)^(p/2); exact hits (r2 ~ 0) take the sample value
     // directly (reference threshold 1e-13 on r², gdalgrid.cpp:341)
     val r2 = col("dist") * col("dist")

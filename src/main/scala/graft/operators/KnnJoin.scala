@@ -56,6 +56,7 @@ object KnnJoin {
     require(nPending > 0, "knn: no queries")
     var ring = initialRing
     var acc: DataFrame = null
+    val roundCaches = Seq.newBuilder[DataFrame]
 
     while (nPending > 0 && ring <= maxRing) {
       // candidate cells of the disk: explode dx/dy, wrap x, clamp y —
@@ -87,7 +88,9 @@ object KnnJoin {
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__qid")).orderBy(col("__dist") +: tb: _*)))
         .filter(col("__rn") <= k)
-        .localCheckpoint(true) // reused for convergence stats AND output
+        .persist() // reused for convergence stats AND output (lazy: the
+                   // pending count below populates it in the same job wave)
+      roundCaches += ranked
 
       val safeRadius = ring * safePerRing
       val wholeGrid = ring >= n
@@ -112,7 +115,11 @@ object KnnJoin {
       ring *= 2
     }
     require(nPending == 0, s"knn did not converge for $nPending queries")
-    acc
+    // materialize the (small) result, then free every round cache so a
+    // long session doesn't accumulate executor-memory pressure
+    val out = acc.localCheckpoint(true)
+    roundCaches.result().foreach(_.unpersist(false))
+    out
   }
 
   /** Exact kNN via a per-partition k-d tree (the north-star variant):

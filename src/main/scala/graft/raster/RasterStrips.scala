@@ -148,10 +148,13 @@ object RasterStrips {
     * (ring vertex order may start at a different vertex; ring content and
     * hole structure are identical).
     */
-  def polygonize(spark: SparkSession, strips: Dataset[ValueStrip], w: Int, h: Int,
+  def polygonize(spark: SparkSession, strips0: Dataset[ValueStrip], w: Int, h: Int,
                  connectedness: Int, gt: GeoTransform): DataFrame = {
     import spark.implicits._
     val conn = connectedness
+    // the strip set is consumed by Phase A (summaries) and Phase C (edge
+    // extraction): persist so upstream lineage evaluates once
+    val strips = strips0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Phase A: per-strip pass 1 → boundary summaries (small)
     val summaries = strips.map { s =>
@@ -299,7 +302,7 @@ object RasterStrips {
     }
 
     // Phase D: group segments by polygon, coalesce rings, emit WKB
-    segs.groupByKey(_.globalId)
+    val out = segs.groupByKey(_.globalId)
       .mapGroups { (_, it) =>
         val all = it.toArray.sortBy(s => (s.y1, s.x1, s.y2, s.x2))
         val rp = new Polygonize.RPoly(all(0).value)
@@ -308,5 +311,8 @@ object RasterStrips {
         (all(0).value, Geom.toWkb(rp.toPolygon(gt)))
       }
       .toDF("value", "wkb")
+      .localCheckpoint(true) // materialize, then release the strip cache
+    strips.unpersist(false)
+    out
   }
 }

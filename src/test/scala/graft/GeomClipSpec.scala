@@ -58,6 +58,22 @@ class GeomClipSpec extends AnyFunSuite {
     assert(math.abs(areaOf(GeomClip.difference(a, right)) - 16.0) < 1e-6)
   }
 
+  test("buffer: point → 32-gon circle, convex polygon → rounded offset") {
+    val p = Geom.fromWkt("POINT(1 2)")
+    val buf = GeomClip.buffer(p, 0.5)
+    // area of the inscribed 32-gon: n/2 r² sin(2π/n)
+    val expect = 32.0 / 2 * 0.25 * math.sin(2 * math.Pi / 32)
+    assert(math.abs(GeomOps.area(buf) - expect) < 1e-9)
+    val ring = buf.asInstanceOf[GPolygon].rings(0)
+    assert(math.abs(ring.x(0) - 1.5) < 1e-12 && math.abs(ring.y(0) - 2.0) < 1e-12)
+    // rect buffer: area = rect + perimeter·d + (approx) circle at corners
+    val rect = poly("POLYGON((0 0,4 0,4 2,0 2,0 0))")
+    val rb = GeomClip.buffer(rect, 1.0)
+    val circleApprox = 32.0 / 2 * math.sin(2 * math.Pi / 32)
+    val expectRect = 8.0 + 12.0 * 1.0 + circleApprox
+    assert(math.abs(GeomOps.area(rb) - expectRect) < 0.05, s"got ${GeomOps.area(rb)}")
+  }
+
   test("random rectangles: area identities hold pairwise") {
     for (seed <- 1 to 40) {
       val h = graft.sources.Pages.mix(seed.toLong)
