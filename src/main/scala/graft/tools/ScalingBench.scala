@@ -36,15 +36,36 @@ object ScalingBench {
     s
   }
 
-  private def timedRun(spark: SparkSession, pagesPath: String): (Double, Long) = {
+  private def zonesOf(spark: SparkSession) = {
     import spark.implicits._
-    val pages = spark.read.parquet(pagesPath)
-    val zones = graft.sources.Pages.zones(64).toDF("zone_id", "wkt")
+    graft.sources.Pages.zones(64).toDF("zone_id", "wkt")
       .withColumn("geom", graft.gf.st_geomfromtext($"wkt")).select($"zone_id", $"geom")
+  }
+
+  private def timedRun(spark: SparkSession, pagesPath: String): (Double, Long) = {
+    val pages = spark.read.parquet(pagesPath)
     val cfg = graft.jobs.Pipeline.Config(outDir = "", nBatches = 1)
     val t0 = System.nanoTime()
-    val rows = graft.jobs.Pipeline.transform(pages, zones, cfg).count()
+    val rows = graft.jobs.Pipeline.transform(pages, zonesOf(spark), cfg).count()
     ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  /** The lineage-committing job: full Pipeline.run (parquet write + per-
+    * batch lineage record), carrying the text column end to end — the
+    * honest flagship (the count-based run lets Spark prune `text`).
+    */
+  private def timedRunWrite(spark: SparkSession, pagesPath: String,
+                            runId: Long): (Double, Long) = {
+    val outDir = s"/tmp/graft_scaling_out/$runId"
+    val cfg = graft.jobs.Pipeline.Config(outDir = outDir, nBatches = 1)
+    val t0 = System.nanoTime()
+    val res = graft.jobs.Pipeline.run(spark, spark.read.parquet(pagesPath),
+      zonesOf(spark), cfg)
+    val dt = (System.nanoTime() - t0) / 1e9
+    val rows = res.map(_.outRows).sum
+    // cleanup outside the timed region
+    scala.reflect.io.Path(new java.io.File(outDir)).deleteRecursively()
+    (dt, rows)
   }
 
   /** Hardware frequency-scaling probe: per-thread speed of a fixed pure-CPU
@@ -94,30 +115,36 @@ object ScalingBench {
       boot.stop()
     }
 
-    // single-level mode: "<nPages> <cpus>" — run ONE level in THIS JVM so
-    // both levels get identical fresh-JVM treatment (warm-up profile, JIT
-    // code cache). A wrapper invokes the JVM once per level.
+    // single-level mode: "<nPages> <cpus> [write]" — run ONE level in THIS
+    // JVM so both levels get identical fresh-JVM treatment (warm-up
+    // profile, JIT code cache). A wrapper invokes the JVM once per level.
     val singleLevel = if (args.length > 1) Some(args(1).toInt) else None
     val levels = singleLevel.map(Seq(_)).getOrElse(Seq(8, 32))
+    val writeMode = args.length > 2 && args(2) == "write"
 
     val results = levels.map { cpus =>
       val spark = session(cpus)
       // time-based warmup: JIT maturity tracks wall-clock, so a fixed-count
       // warmup would under-warm the faster level. Run until 75 s elapsed
       // (min 3 runs), then measure best-of-5.
+      var runId = 0L
+      def onceTimed(): (Double, Long) =
+        if (writeMode) { runId += 1; timedRunWrite(spark, pagesPath, runId) }
+        else timedRun(spark, pagesPath)
       val warmStart = System.nanoTime()
       var warmRuns = 0
       while (warmRuns < 3 || (System.nanoTime() - warmStart) < 75e9) {
-        timedRun(spark, pagesPath)
+        onceTimed()
         warmRuns += 1
       }
-      val runs = (1 to 5).map(_ => timedRun(spark, pagesPath))
+      val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+      val runs = (1 to nRuns).map(_ => onceTimed())
       spark.stop()
       val rows = runs.head._2
       val sec = runs.map(_._1).min // best (steady-state throughput claim)
       val tput = nPages / sec
       println(f"[scaling] local[$cpus%2d]: best $sec%7.2f s  $tput%10.0f pages/s  (runs: ${runs.map(r => f"${r._1}%.2f").mkString(", ")}; $rows rows)")
-      println(f"""{"metric":"level_throughput","cpus":$cpus,"pages":$nPages,"sec":$sec%.2f,"pages_per_sec":$tput%.0f,"out_rows":$rows}""")
+      println(f"""{"metric":"level_throughput","mode":"${if (writeMode) "write" else "count"}","cpus":$cpus,"pages":$nPages,"sec":$sec%.2f,"pages_per_sec":$tput%.0f,"out_rows":$rows}""")
       (cpus, sec, tput, rows)
     }
     assert(results.map(_._4).distinct.size == 1, "outputs differ across parallelism levels!")
