@@ -652,6 +652,23 @@ object SparkEntry {
         .select(col("left_key"), round(gf.st_area(col("wkb")), 6).as("area_r"))
     }),
 
+    "q_geom_misc" -> ((s, d) => {
+      import s.implicits._
+      // closed-form expectations: boundary of a 4×2 rect has length 12;
+      // the Delaunay triangles of 4 corners + center tile the square
+      // exactly (area 16); point-on-surface of a concave U lies inside it
+      val rect = "POLYGON((0 0,4 0,4 2,0 2,0 0))"
+      val five = "MULTIPOINT(0 0,4 0,4 4,0 4,2 2)"
+      val u = "POLYGON((0 0,6 0,6 6,4 6,4 2,2 2,2 6,0 6,0 0))"
+      Seq((rect, five, u)).toDF("rect", "five", "u")
+        .select(
+          round(gf.st_length(gf.st_boundary(gf.st_geomfromtext(col("rect")))), 6).as("boundary_len"),
+          round(gf.st_area(gf.st_delaunay(gf.st_geomfromtext(col("five")))), 6).as("delaunay_area"),
+          gf.st_contains_point(gf.st_geomfromtext(col("u")),
+            gf.st_x(gf.st_pointonsurface(gf.st_geomfromtext(col("u")))),
+            gf.st_y(gf.st_pointonsurface(gf.st_geomfromtext(col("u")))))
+            .cast("int").as("pos_inside"))
+    }),
     "q_curve" -> ((s, d) => {
       import s.implicits._
       // ogr_geom.py:2233-2269 curve expectations as boolean flags
@@ -679,6 +696,12 @@ object SparkEntry {
     // ---------------- DEM family (distributed 3×3 over strips) ----------------
     "q_aspect" -> ((s, d) =>
       demEmit(graft.raster.Dem.aspect(s, demGridStrips(s, 9), 40, 30), "asp_r")),
+    "q_hillshade_combined" -> ((s, d) =>
+      demEmit(graft.raster.Dem.hillshade(s, demGridStrips(s, 10), 40, 30,
+        graft.core.GeoTransform.northUp(0, 30, 1, 1), combined = true), "hsc_r")),
+    "q_slope_zt" -> ((s, d) =>
+      demEmit(graft.raster.Dem.slope(s, demGridStrips(s, 8), 40, 30,
+        graft.core.GeoTransform.northUp(0, 30, 1, 1), zt = true), "slz_r")),
     "q_tri" -> ((s, d) =>
       demEmit(graft.raster.Dem.tri(s, demGridStrips(s, 8), 40, 30), "tri_r")),
     "q_tpi" -> ((s, d) =>
@@ -1304,6 +1327,10 @@ object SparkEntry {
         |  lang AS lang_declared
         |FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es, h_pt, h_ru) AS m FROM h)""".stripMargin,
     "q_fingerprint" -> graft.fixtures.FingerprintOracle.valuesSql,
+    "q_geom_misc" ->
+      """SELECT CAST(12.0 AS DOUBLE) AS boundary_len,
+        |       CAST(16.0 AS DOUBLE) AS delaunay_area,
+        |       1 AS pos_inside""".stripMargin,
     "q_curve" ->
       """SELECT * FROM (VALUES
         |  ('pip_inside_45', 1, 1), ('pip_outside_45', 0, 1),
@@ -1354,6 +1381,24 @@ object SparkEntry {
         |  ELSE (CASE WHEN a0 > 90.0 THEN 450.0 - a0 ELSE 90.0 - a0 END)
         |  END, 6) AS asp_r
         |FROM (SELECT x, y, gx, gy, degrees(atan2(-gy, gx)) AS a0 FROM calc)""".stripMargin,
+    "q_hillshade_combined" ->
+      // Horn combined shading: acos-hillshade angle weighted by slope
+      // steepness (gdaldem_lib.cpp:508); z=1 scale=1 → zScale²=0.015625
+      s"""$demOracleCte
+        |SELECT x, y, round(CASE WHEN c2 <= 0 THEN 1.0 ELSE 1.0 + 254.0 * c2 END, 6) AS hsc_r
+        |FROM (SELECT x, y,
+        |  1 - acos((sin(radians(45.0)) - (cos(radians(45.0)) * 0.125) * sqrt(gx*gx + gy*gy) *
+        |            sin(atan2(gy, gx) - radians(315.0))) /
+        |           sqrt(1 + (gx*gx + gy*gy) * 0.015625)) *
+        |      atan(sqrt((gx*gx + gy*gy) * 0.015625)) / ((pi() * pi()) / 4) AS c2
+        |  FROM calc)""".stripMargin,
+    "q_slope_zt" ->
+      // Zevenbergen–Thorne slope: 2-neighbor gradient, atan(sqrt(key)/2)
+      s"""$demOracleCte
+        |SELECT x, y, round(atan(sqrt(
+        |  ((w3 - w5) / 1.0) * ((w3 - w5) / 1.0) +
+        |  ((w7 - w1) / (-1.0)) * ((w7 - w1) / (-1.0))) / 2.0) * (180.0 / pi()), 6) AS slz_r
+        |FROM calc""".stripMargin,
     "q_tri" ->
       s"""$demOracleCte
         |SELECT x, y, round((abs(w0-w4) + abs(w1-w4) + abs(w2-w4) + abs(w3-w4)

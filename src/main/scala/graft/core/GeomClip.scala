@@ -316,6 +316,84 @@ object GeomClip {
     }
   }
 
+  /** Boundary (`ogrgeometry.cpp:3097`, OGC semantics): polygon → its
+    * ring(s); open curve → endpoints; closed curve / point → empty (None).
+    */
+  def boundary(g: Geom): Option[Geom] = g match {
+    case p: GPolygon =>
+      if (p.rings.length == 1) Some(p.rings(0))
+      else Some(GMulti(5, p.rings.map(r => r: Geom)))
+    case l: GLine =>
+      if (l.isClosed || l.numPoints == 0) None
+      else Some(GMulti(4, Array[Geom](
+        GPoint(l.x(0), l.y(0)), GPoint(l.x(l.numPoints - 1), l.y(l.numPoints - 1)))))
+    case GMulti(6, gs) =>
+      val rings = gs.flatMap { case p: GPolygon => p.rings.map(r => r: Geom); case _ => Array.empty[Geom] }
+      if (rings.isEmpty) None else Some(GMulti(5, rings))
+    case _ => None
+  }
+
+  /** DelaunayTriangulation (`ogrgeometry.cpp:4651`, GEOS-delegated in the
+    * reference): triangulation of the geometry's vertices as a
+    * multipolygon of triangles.
+    */
+  def delaunayTriangulation(g: Geom): Option[Geom] = {
+    val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    def collect(gg: Geom): Unit = gg match {
+      case GPoint(x, y, _, _) => pts += ((x, y))
+      case l: GLine => (0 until l.numPoints).foreach(i => pts += ((l.x(i), l.y(i))))
+      case p: GPolygon => p.rings.foreach(collect)
+      case GMulti(_, gs) => gs.foreach(collect)
+    }
+    collect(g)
+    val distinct = pts.distinct
+    if (distinct.length < 3) return None
+    val xs = distinct.map(_._1).toArray
+    val ys = distinct.map(_._2).toArray
+    val tris = Delaunay.triangulate(xs, ys)
+    if (tris.isEmpty) None
+    else Some(GMulti(6, tris.map { t =>
+      GPolygon(Array(GLine(Array(
+        xs(t.a), ys(t.a), xs(t.b), ys(t.b), xs(t.c), ys(t.c), xs(t.a), ys(t.a))))): Geom
+    }))
+  }
+
+  /** PointOnSurface (`ogrgeometry.cpp:4923`): a point guaranteed interior
+    * to the polygon — midpoint of the widest interior span on the scanline
+    * through the bounding-box middle (nudged between distinct ring-y
+    * values when the middle is degenerate). Points/lines return a vertex.
+    */
+  def pointOnSurface(g: Geom): Option[GPoint] = g match {
+    case p: GPoint => Some(p)
+    case l: GLine if l.numPoints > 0 =>
+      Some(GPoint(l.x(l.numPoints / 2), l.y(l.numPoints / 2)))
+    case poly: GPolygon =>
+      val env = poly.envelope
+      // candidate scan ys: midline first, then offsets between ring ys
+      val candidates = ((env.minY + env.maxY) / 2) +:
+        (1 to 7).map(k => env.minY + (env.maxY - env.minY) * k / 8.0)
+      candidates.iterator.flatMap { sy =>
+        // ring crossings at y = sy (ray-cast span extraction)
+        val xsB = Seq.newBuilder[Double]
+        poly.rings.foreach { r =>
+          var i = 1
+          while (i < r.numPoints) {
+            val y1 = r.y(i - 1); val y2 = r.y(i)
+            if ((y1 <= sy && y2 > sy) || (y2 <= sy && y1 > sy)) {
+              val t = (sy - y1) / (y2 - y1)
+              xsB += r.x(i - 1) + t * (r.x(i) - r.x(i - 1))
+            }
+            i += 1
+          }
+        }
+        val xs = xsB.result().sorted
+        // interior spans are between even-odd crossing pairs
+        xs.grouped(2).collect { case Seq(a, b) if b > a => (b - a, (a + b) / 2, sy) }
+      }.toSeq.sortBy(-_._1).headOption.map { case (_, mx, my) => GPoint(mx, my) }
+    case GMulti(_, gs) => gs.iterator.flatMap(pointOnSurface).toSeq.headOption
+    case _ => None
+  }
+
   private def isConvex(pts: Seq[(Double, Double)]): Boolean = {
     val m = pts.length
     if (m < 4) return true

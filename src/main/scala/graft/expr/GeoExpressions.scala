@@ -446,6 +446,40 @@ case class StForce(child: Expression, toMulti: Boolean) extends UnaryExpression 
   override def prettyName: String = if (toMulti) "st_force_multipolygon" else "st_force_polygon"
 }
 
+/** Unary constructive ops sharing one runtime dispatch. kind: 0 =
+  * st_boundary, 1 = st_delaunay, 2 = st_pointonsurface. Null = empty.
+  */
+object GeomMiscRt {
+  def eval(wkb: Array[Byte], kind: Int): Array[Byte] = {
+    val g = GeoRt.decode(wkb)
+    val r = kind match {
+      case 0 => graft.core.GeomClip.boundary(g)
+      case 1 => graft.core.GeomClip.delaunayTriangulation(g)
+      case 2 => graft.core.GeomClip.pointOnSurface(g)
+      case _ => None
+    }
+    r.map(Geom.toWkb).orNull
+  }
+}
+
+case class StGeomMisc(child: Expression, kind: Int) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    GeomMiscRt.eval(b.asInstanceOf[Array[Byte]], kind)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""byte[] ${ev.value}Tmp = graft.expr.GeomMiscRt.eval($b, $kind);
+         |if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Tmp; }""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = kind match {
+    case 0 => "st_boundary"; case 1 => "st_delaunay"; case _ => "st_pointonsurface"
+  }
+}
+
 /** st_buffer(wkb, dist) -> wkb (GEOS-style quadSegs=8 circles; convex
   * offset; concave rings via convex hull — see GeomClip.buffer).
   */

@@ -41,6 +41,9 @@ object gf {
 
   // ---- constructive ops ----
   def st_buffer(g: Column, dist: Column): Column = col(StBuffer(x(g), x(dist.cast("double"))))
+  def st_boundary(g: Column): Column = col(StGeomMisc(x(g), 0))
+  def st_delaunay(g: Column): Column = col(StGeomMisc(x(g), 1))
+  def st_pointonsurface(g: Column): Column = col(StGeomMisc(x(g), 2))
   def st_intersection(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 0))
   def st_union(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 1))
   def st_difference(a: Column, b: Column): Column = col(StOverlay(x(a), x(b), 2))
@@ -130,6 +133,9 @@ object gf {
     r1("geo_extract", es => GeoExtract(es.head))
     r1("st_convexhull", es => StConvexHull(es.head))
     r1("st_buffer", es => StBuffer(es(0), d(es(1))))
+    r1("st_boundary", es => StGeomMisc(es.head, 0))
+    r1("st_delaunay", es => StGeomMisc(es.head, 1))
+    r1("st_pointonsurface", es => StGeomMisc(es.head, 2))
     r1("st_intersection", es => StOverlay(es(0), es(1), 0))
     r1("st_union", es => StOverlay(es(0), es(1), 1))
     r1("st_difference", es => StOverlay(es(0), es(1), 2))

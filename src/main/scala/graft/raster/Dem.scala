@@ -33,13 +33,18 @@ object Dem {
   final case class HaloPart(dest: Int, kind: Int, stripIdx: Int, yOff: Int,
                             height: Int, vals: Array[Double])
 
+  /** zt = Zevenbergen–Thorne gradient (2-neighbor; z factor /2 instead of
+    * /8, GDALCreateHillshadeData `gdaldem_lib.cpp:623`).
+    */
   final case class HillshadeParams(z: Double = 1.0, scale: Double = 1.0,
-                                   alt: Double = 45.0, az: Double = 315.0) {
+                                   alt: Double = 45.0, az: Double = 315.0,
+                                   zt: Boolean = false) {
     val sinAlt: Double = math.sin(math.toRadians(alt))
     val azRad: Double = math.toRadians(az)
-    def zScale: Double = z / (8 * scale)
+    def zScale: Double = z / ((if (zt) 2 else 8) * scale)
     val cosAltMulZ: Double = math.cos(math.toRadians(alt)) * zScale
     val squareZ: Double = zScale * zScale
+    val squarePiHalf: Double = (math.Pi * math.Pi) / 4
   }
 
   /** 3×3 kernel over the full window (afWin row-major 0..8, center = 4). */
@@ -57,6 +62,62 @@ object Dem {
       math.sin(aspect - p.azRad)) / math.sqrt(1 + p.squareZ * xxPlusYy)
     if (cang <= 0.0) cang = 1.0 else cang = 1.0 + 254.0 * cang
     cang
+  }
+
+  /** Zevenbergen–Thorne hillshade (`gdaldem_lib.cpp:544`). */
+  def hillshadePixelZT(w1: Double, w3: Double, w5: Double, w7: Double,
+                       ewres: Double, nsres: Double, p: HillshadeParams): Double = {
+    val x = (w3 - w5) / ewres
+    val y = (w7 - w1) / nsres
+    val xxPlusYy = x * x + y * y
+    val aspect = math.atan2(y, x)
+    var cang = (p.sinAlt - p.cosAltMulZ * math.sqrt(xxPlusYy) *
+      math.sin(aspect - p.azRad)) / math.sqrt(1 + p.squareZ * xxPlusYy)
+    if (cang <= 0.0) cang = 1.0 else cang = 1.0 + 254.0 * cang
+    cang
+  }
+
+  /** Combined shading (`gdaldem_lib.cpp:508`): hillshade angle weighted by
+    * slope steepness; `zt` selects the gradient flavor.
+    */
+  def hillshadePixelCombined(w0: Double, w1: Double, w2: Double, w3: Double,
+                             w5: Double, w6: Double, w7: Double, w8: Double,
+                             ewres: Double, nsres: Double, p: HillshadeParams): Double = {
+    val x = if (p.zt) (w3 - w5) / ewres
+      else ((w0 + w3 + w3 + w6) - (w2 + w5 + w5 + w8)) / ewres
+    val y = if (p.zt) (w7 - w1) / nsres
+      else ((w6 + w7 + w7 + w8) - (w0 + w1 + w1 + w2)) / nsres
+    val xxPlusYy = x * x + y * y
+    val aspect = math.atan2(y, x)
+    val slope = xxPlusYy * p.squareZ
+    var cang = math.acos((p.sinAlt - p.cosAltMulZ * math.sqrt(xxPlusYy) *
+      math.sin(aspect - p.azRad)) / math.sqrt(1 + slope))
+    cang = 1 - cang * math.atan(math.sqrt(slope)) / p.squarePiHalf
+    if (cang <= 0.0) cang = 1.0 else cang = 1.0 + 254.0 * cang
+    cang
+  }
+
+  /** Zevenbergen–Thorne slope (`gdaldem_lib.cpp:665`). */
+  def slopePixelZT(w1: Double, w3: Double, w5: Double, w7: Double,
+                   ewres: Double, nsres: Double, scale: Double, degrees: Boolean): Double = {
+    val dx = (w3 - w5) / ewres
+    val dy = (w7 - w1) / nsres
+    val key = dx * dx + dy * dy
+    if (degrees) math.atan(math.sqrt(key) / (2 * scale)) * (180.0 / math.Pi)
+    else 100.0 * (math.sqrt(key) / (2 * scale))
+  }
+
+  /** Zevenbergen–Thorne aspect (`gdaldem_lib.cpp:748`). */
+  def aspectPixelZT(w1: Double, w3: Double, w5: Double, w7: Double,
+                    dstNoData: Double, azimuth: Boolean): Double = {
+    val dx = w5 - w3
+    val dy = w7 - w1
+    var aspect = math.atan2(dy, -dx) * (180.0 / math.Pi)
+    if (dx == 0 && dy == 0) return dstNoData
+    else if (azimuth) {
+      aspect = if (aspect > 90.0) 450.0 - aspect else 90.0 - aspect
+    } else if (aspect < 0) aspect += 360.0
+    if (aspect == 360.0) 0.0 else aspect
   }
 
   /** Horn slope; degrees when `degrees`, else percent. */
@@ -187,19 +248,32 @@ object Dem {
   }
 
   def hillshade(spark: SparkSession, strips: Dataset[DStrip], w: Int, h: Int,
-                gt: GeoTransform, p: HillshadeParams = HillshadeParams()): Dataset[DStrip] =
+                gt: GeoTransform, p: HillshadeParams = HillshadeParams(),
+                combined: Boolean = false): Dataset[DStrip] =
     apply3x3(spark, strips, w, h, 0.0,
-      (a, b, c, d, _, e, f, g, i) => hillshadePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, p))
+      if (combined)
+        (a, b, c, d, _, e, f, g, i) =>
+          hillshadePixelCombined(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, p)
+      else if (p.zt)
+        (_, b, _, d, _, e, _, g, _) => hillshadePixelZT(b, d, e, g, gt.gt1, gt.gt5, p)
+      else
+        (a, b, c, d, _, e, f, g, i) => hillshadePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, p))
 
   def slope(spark: SparkSession, strips: Dataset[DStrip], w: Int, h: Int,
-            gt: GeoTransform, scale: Double = 1.0, degrees: Boolean = true): Dataset[DStrip] =
+            gt: GeoTransform, scale: Double = 1.0, degrees: Boolean = true,
+            zt: Boolean = false): Dataset[DStrip] =
     apply3x3(spark, strips, w, h, -9999.0,
-      (a, b, c, d, _, e, f, g, i) => slopePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, scale, degrees))
+      if (zt) (_, b, _, d, _, e, _, g, _) =>
+        slopePixelZT(b, d, e, g, gt.gt1, gt.gt5, scale, degrees)
+      else (a, b, c, d, _, e, f, g, i) =>
+        slopePixel(a, b, c, d, e, f, g, i, gt.gt1, gt.gt5, scale, degrees))
 
   def aspect(spark: SparkSession, strips: Dataset[DStrip], w: Int, h: Int,
-             azimuth: Boolean = true, dstNoData: Double = -9999.0): Dataset[DStrip] =
+             azimuth: Boolean = true, dstNoData: Double = -9999.0,
+             zt: Boolean = false): Dataset[DStrip] =
     apply3x3(spark, strips, w, h, dstNoData,
-      (a, b, c, d, _, e, f, g, i) => aspectPixel(a, b, c, d, e, f, g, i, dstNoData, azimuth))
+      if (zt) (_, b, _, d, _, e, _, g, _) => aspectPixelZT(b, d, e, g, dstNoData, azimuth)
+      else (a, b, c, d, _, e, f, g, i) => aspectPixel(a, b, c, d, e, f, g, i, dstNoData, azimuth))
 
   def tri(spark: SparkSession, strips: Dataset[DStrip], w: Int, h: Int): Dataset[DStrip] =
     apply3x3(spark, strips, w, h, -9999.0, triPixel)
