@@ -817,6 +817,21 @@ object SparkEntry {
         .groupBy(col("qid"))
         .agg(count(col("aid")).as("n_overlap"))
     }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Ann.cosineTopK(emb, col("vec_id"), col("embedding"),
+          qs, col("qid"), col("qvec"), 5)
+        .select(col("qid"), col("id"))
+      // nlist ~ sqrt(corpus) (500 → 22), nprobe 5
+      val approx = Ann.ivfTopK(emb, col("vec_id"), col("embedding"),
+          qs, col("qid"), col("qvec"), 5, nlist = 22, nprobe = 5)
+        .select(col("qid").as("aqid"), col("id").as("aid"))
+      exact.join(approx, col("qid") === col("aqid") && col("id") === col("aid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("aid")).as("n_overlap"))
+    }),
     "q_graph_cc" -> ((s, d) =>
       GraphOps.connectedComponents(graphEdges(s), col("src"), col("dst"))
         .select(col("vertex"), col("comp"))),
@@ -1469,6 +1484,14 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  (CAST(0 AS BIGINT), CAST(4 AS BIGINT)),
         |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
+        |AS t(qid, n_overlap)""".stripMargin,
+    "q_ann_ivf" ->
+      // deterministic IVF recall (nlist 22, nprobe 5, Lloyd's spread init)
+      // vs exact top-5 — beats the 6-bit LSH's 9/15 on the same corpus
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(5 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
         |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
         |AS t(qid, n_overlap)""".stripMargin,
     "q_graph_cc" ->

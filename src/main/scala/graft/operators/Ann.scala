@@ -119,4 +119,100 @@ object Ann {
       .withColumn("cosine", cosine(col("__v"), col("__qv")))
     localThenGlobalTopK(scored, k)
   }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: coarse k-means quantizer, nprobe buckets
+  // ------------------------------------------------------------------
+
+  private def l2norm(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Deterministic Lloyd's k-means over a sample (driver-side — the
+    * codebook is tiny; the reference pattern for IVF training everywhere).
+    * Vectors are L2-normalized so euclidean argmin == cosine argmax.
+    */
+  private[operators] def trainCentroids(sample: Array[Array[Double]], nlist: Int,
+                                        iters: Int = 10): Array[Array[Double]] = {
+    val n = sample.length
+    require(n >= nlist, s"sample $n smaller than nlist $nlist")
+    val normed = sample.map(l2norm)
+    // deterministic spread init: every (n/nlist)-th sample
+    var centroids = Array.tabulate(nlist)(i => normed((i * n) / nlist).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist)(new Array[Double](normed(0).length))
+      val counts = new Array[Int](nlist)
+      normed.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c)
+        else l2norm(sums(c).map(_ / counts(c)))
+      }
+    }
+    centroids
+  }
+
+  private def nearestCentroids(v: Array[Double], centroids: Array[Array[Double]],
+                               howMany: Int): Array[Int] = {
+    val nv = l2norm(v)
+    centroids.indices.map { c =>
+      var d = 0.0; var i = 0
+      while (i < nv.length) { val t = nv(i) - centroids(c)(i); d += t * t; i += 1 }
+      (d, c)
+    }.sortBy(x => (x._1, x._2)).take(howMany).map(_._2).toArray
+  }
+
+  /** IVF approximate top-k: corpus vectors live in the bucket of their
+    * nearest coarse centroid (ONE bucket per vector — the inverted file);
+    * each query probes its `nprobe` nearest centroids and computes exact
+    * cosine only inside those buckets. Recall/cost knobs: nlist (bucket
+    * count ≈ √corpus is classic) and nprobe.
+    *
+    * Scale shape: training samples ~nlist·40 vectors (driver, tiny
+    * codebook broadcast); assignment is one map over the corpus; the
+    * query-bucket join shuffles only probed buckets; top-k reduces via
+    * per-partition heaps. No all-pairs stage anywhere.
+    */
+  def ivfTopK(corpus: DataFrame, id: Column, vec: Column,
+              queries: DataFrame, qid: Column, qvec: Column,
+              k: Int, nlist: Int = 64, nprobe: Int = 8,
+              sampleMod: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = corpus.select(id.cast("long").as("id"), vec.as("__v"))
+    // deterministic sample for training
+    val sample = c0.filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
+      .select(col("__v")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val centroids = trainCentroids(sample, math.min(nlist, math.max(1, sample.length)))
+    val cb = spark.sparkContext.broadcast(centroids)
+
+    val bucketed = c0.as[(Long, Array[Float])].map { case (i, v) =>
+      (i, v, nearestCentroids(v.map(_.toDouble), cb.value, 1)(0))
+    }.toDF("id", "__v", "__bucket")
+
+    val probes = broadcast(
+      queries.select(qid.cast("long").as("qid"), qvec.as("__qv"))
+        .as[(Long, Array[Float])].flatMap { case (q, v) =>
+          nearestCentroids(v.map(_.toDouble), cb.value, nprobe).map(b => (q, v, b))
+        }.toDF("qid", "__qv", "__qbucket"))
+
+    val scored = bucketed.join(probes, col("__bucket") === col("__qbucket"))
+      .withColumn("cosine", cosine(col("__v"), col("__qv")))
+    localThenGlobalTopK(scored, k)
+  }
 }

@@ -115,6 +115,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select($"qid", $"id").as[(Long, Long)].collect().toSet
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"LSH recall too low on clustered data: $recall")
+
+    // IVF with nlist = #clusters should get near-perfect recall here:
+    // the coarse quantizer recovers the generating centers
+    val ivf = Ann.ivfTopK(corpus, $"id", $"vec", queries, $"qid", $"qvec",
+      10, nlist = 10, nprobe = 3)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val ivfRecall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(ivfRecall >= 0.9, s"IVF recall too low on clustered data: $ivfRecall")
   }
 
   test("multimodal: stub decode plumbing with corrupt-row isolation") {
