@@ -133,6 +133,9 @@ object gf {
     r1("geo_extract", es => GeoExtract(es.head))
     r1("st_convexhull", es => StConvexHull(es.head))
     r1("st_buffer", es => StBuffer(es(0), d(es(1))))
+    r1("st_curvetoline", es => StCurveToLine(es(0), d(es(1))))
+    r1("st_curve_contains_point", es =>
+      StCurveContainsPoint(es(0), d(es(1)), d(es(2)), d(es(3))))
     r1("st_boundary", es => StGeomMisc(es.head, 0))
     r1("st_delaunay", es => StGeomMisc(es.head, 1))
     r1("st_pointonsurface", es => StGeomMisc(es.head, 2))

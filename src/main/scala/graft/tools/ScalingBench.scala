@@ -97,11 +97,47 @@ object ScalingBench {
     (1 to 3).map(_ => once()).max
   }
 
+  /** Memory-bandwidth probe: per-thread streaming sum over a 64 MiB/thread
+    * array (far beyond LLC). A single-socket VM shares one DRAM interface
+    * across all threads, so per-thread bandwidth at 32 busy threads is a
+    * hard ceiling on any data-bound job's 8→32 scaling — a limit a real
+    * 4N-executor cluster (4× machines ⇒ 4× memory systems) does not have.
+    */
+  def memPerThreadSpeed(threads: Int): Double = {
+    val words = (64L << 20) / 8
+    val arrays = Array.fill(threads)(Array.tabulate(words.toInt)(_.toLong))
+    def once(): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val fs = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            val a = arrays(t)
+            var s = 0L; var pass = 0
+            while (pass < 4) {
+              var i = 0
+              while (i < a.length) { s += a(i); i += 1 }
+              pass += 1
+            }
+            s
+          }
+        })
+      }
+      fs.foreach(_.get())
+      pool.shutdown()
+      4.0 * words / ((System.nanoTime() - t0) / 1e9) // per-thread words/sec
+    }
+    once()
+    (1 to 3).map(_ => once()).max
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length > 0 && args(0) == "probe") {
       val s8 = hwPerThreadSpeed(8)
       val s32 = hwPerThreadSpeed(32)
-      println(f"""{"metric":"hw_ceiling","per_thread_8":$s8%.0f,"per_thread_32":$s32%.0f,"ceiling":${s32 / s8}%.3f}""")
+      val m8 = memPerThreadSpeed(8)
+      val m32 = memPerThreadSpeed(32)
+      println(f"""{"metric":"hw_ceiling","per_thread_8":$s8%.0f,"per_thread_32":$s32%.0f,"ceiling":${s32 / s8}%.3f,"mem_per_thread_8":$m8%.0f,"mem_per_thread_32":$m32%.0f,"mem_ceiling":${m32 / m8}%.3f}""")
       return
     }
     val nPages = if (args.nonEmpty) args(0).toLong else 4000000L

@@ -97,6 +97,27 @@ object Smoke {
       $"pid2", $"lon", $"lat", qs2, $"qid", $"qlon", $"qlat", 2)
     assert(kn.count() == 2, "kdTree knn")
 
+    // round-2 surface: overlay, buffer, curves, boundary/delaunay/pos
+    val ovArea = spark.sql(
+      """select st_area(st_intersection(
+        |  st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))'),
+        |  st_geomfromtext('POLYGON((2 2,6 2,6 6,2 6,2 2))')))""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(ovArea - 4.0) < 1e-9, "st_intersection SQL")
+    val bufA = spark.sql("select st_area(st_buffer(st_point(1, 2), 0.5))").head().getDouble(0)
+    assert(bufA > 0.77 && bufA < 0.786, s"st_buffer circle area $bufA")
+    val curveIn = spark.sql(
+      "select st_curve_contains_point('CURVEPOLYGON (CIRCULARSTRING (0 0,2 0,0 0))', 1.5, 0.0, 45.0)")
+      .head().getBoolean(0)
+    assert(curveIn, "exact circle PIP via SQL")
+    val bLen = spark.sql(
+      "select st_length(st_boundary(st_geomfromtext('POLYGON((0 0,4 0,4 2,0 2,0 0))')))")
+      .head().getDouble(0)
+    assert(bLen == 12.0, "st_boundary SQL")
+    assert(spark.sql(
+      "select st_area(st_delaunay(st_geomfromtext('MULTIPOINT(0 0,4 0,4 4,0 4,2 2)')))")
+      .head().getDouble(0) == 16.0, "st_delaunay SQL")
+
     // flagship pipeline transform on a small page batch
     val pages = graft.sources.Pages.synth(spark, 2000L)
     val zonesG = zones.select($"zone_id", $"geom")
