@@ -39,9 +39,15 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val secondOk =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name (timed run) FAILED: ${e.getMessage}")
+          false
+        }
+      // a query that fails on the measured run must not report a
+      // truncated elapsed time as if it were a fast success
+      val dt = if (secondOk) (System.nanoTime() - t0) / 1e9 else Double.NaN
       // drop any blocks a query cached/checkpointed so later queries
       // aren't measured under accumulated executor-memory pressure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -70,7 +76,9 @@ object Bench {
     val pipeSec = (System.nanoTime() - t0) / 1e9
     val pagesPerSec = nPages / pipeSec
 
-    val all = results :+ ("pipeline" -> pipeSec)
+    // failed timed runs (NaN) are omitted from the JSON rather than
+    // reported as a truncated "fast" timing; the failure is on stderr
+    val all = (results :+ ("pipeline" -> pipeSec)).filterNot(_._2.isNaN)
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_pages":$nPages,"pipeline_out_rows":$outRows,"pages_per_sec":$pagesPerSec%.0f,"protocol":"second-run (steady-state; first run pays codegen+JIT)"}""")

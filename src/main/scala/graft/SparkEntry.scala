@@ -693,6 +693,42 @@ object SparkEntry {
             .cast("int").as("area_ok"))
     }),
 
+    "q_transform_utm" -> ((s, d) => {
+      import s.implicits._
+      // general CRS engine (core/Proj.scala): UTM N/S, ETRS89/UTM,
+      // BNG (Helmert datum shift), Lambert-93, polar stereographic N/S,
+      // UPS, LAEA Europe, projected→projected and the datum-shifted
+      // inverse. Oracle = pinned VALUES from the INDEPENDENT Python port
+      // (tools/gen_proj_oracle.py, PROJ.4-style series vs Snyder here;
+      // cross-validated to <0.1 mm in ProjCrossSpec).
+      val pts = Seq(
+        (1L, 4326, 32631, 2.3522, 48.8566),
+        (2L, 4326, 32631, 5.37, 43.30),
+        (3L, 4326, 32631, 0.1278, 51.5074),
+        (4L, 4326, 32733, 13.23, -8.83),
+        (5L, 4326, 32733, 17.08, -22.57),
+        (6L, 4326, 25832, 8.68, 50.11),
+        (7L, 4326, 27700, -0.1276, 51.5072),
+        (8L, 4326, 27700, -3.1883, 55.9533),
+        (9L, 4326, 2154, 2.3522, 48.8566),
+        (10L, 4326, 2154, -1.5536, 47.2184),
+        (11L, 4326, 3413, -45.0, 70.0),
+        (12L, 4326, 3413, -30.0, 78.0),
+        (13L, 4326, 3031, 0.0, -75.0),
+        (14L, 4326, 3031, 166.67, -77.85),
+        (15L, 4326, 5041, 10.0, 85.0),
+        (16L, 4326, 3035, 10.0, 52.0),
+        (17L, 4326, 3035, -3.70, 40.42),
+        (18L, 32631, 2154, 652000.0, 5420000.0),
+        (19L, 27700, 4326, 530000.0, 180000.0))
+        .toDF("pid", "src", "dst", "px", "py")
+      val g = gf.st_transform(gf.st_point(col("px"), col("py")), col("src"), col("dst"))
+      def r(c: Column): Column =
+        when(col("dst") === 4326, round(c, 8)).otherwise(round(c, 4))
+      pts.select(col("pid"), col("dst").as("epsg"),
+        r(gf.st_x(g)).as("x_r"), r(gf.st_y(g)).as("y_r"))
+    }),
+
     // ---------------- DEM family (distributed 3×3 over strips) ----------------
     "q_aspect" -> ((s, d) =>
       demEmit(graft.raster.Dem.aspect(s, demGridStrips(s, 9), 40, 30), "asp_r")),
@@ -1352,6 +1388,31 @@ object SparkEntry {
         |  ('two_arc_circle', 1, 1), ('reversed_circle', 1, 1),
         |  ('not_circle', 0, 1))
         |AS t(test_case, flag, area_ok)""".stripMargin,
+    "q_transform_utm" ->
+      // pinned from tools/gen_proj_oracle.py --values (independent
+      // PROJ.4-style Python port; <0.1 mm agreement with the Scala
+      // Snyder kernels, margins to the rounding boundary checked)
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(32631 AS INTEGER), CAST(452482.5327 AS DOUBLE), CAST(5411717.1769 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), CAST(32631 AS INTEGER), CAST(692235.6602 AS DOUBLE), CAST(4796857.6774 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), CAST(32631 AS INTEGER), CAST(300683.7657 AS DOUBLE), CAST(5710163.7581 AS DOUBLE)),
+        |  (CAST(4 AS BIGINT), CAST(32733 AS INTEGER), CAST(305332.5614 AS DOUBLE), CAST(9023480.7892 AS DOUBLE)),
+        |  (CAST(5 AS BIGINT), CAST(32733 AS INTEGER), CAST(713864.149 AS DOUBLE), CAST(7502589.4443 AS DOUBLE)),
+        |  (CAST(6 AS BIGINT), CAST(25832 AS INTEGER), CAST(477118.9256 AS DOUBLE), CAST(5550910.1484 AS DOUBLE)),
+        |  (CAST(7 AS BIGINT), CAST(27700 AS INTEGER), CAST(530043.1979 AS DOUBLE), CAST(180358.2087 AS DOUBLE)),
+        |  (CAST(8 AS BIGINT), CAST(27700 AS INTEGER), CAST(325897.2215 AS DOUBLE), CAST(674001.2019 AS DOUBLE)),
+        |  (CAST(9 AS BIGINT), CAST(2154 AS INTEGER), CAST(652469.0227 AS DOUBLE), CAST(6862035.2594 AS DOUBLE)),
+        |  (CAST(10 AS BIGINT), CAST(2154 AS INTEGER), CAST(355577.8016 AS DOUBLE), CAST(6689723.1029 AS DOUBLE)),
+        |  (CAST(11 AS BIGINT), CAST(3413 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(-2187927.6493 AS DOUBLE)),
+        |  (CAST(12 AS BIGINT), CAST(3413 AS INTEGER), CAST(337631.631 AS DOUBLE), CAST(-1260058.4012 AS DOUBLE)),
+        |  (CAST(13 AS BIGINT), CAST(3031 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(1638783.2384 AS DOUBLE)),
+        |  (CAST(14 AS BIGINT), CAST(3031 AS INTEGER), CAST(305467.1627 AS DOUBLE), CAST(-1289201.5377 AS DOUBLE)),
+        |  (CAST(15 AS BIGINT), CAST(5041 AS INTEGER), CAST(2096454.1638 AS DOUBLE), CAST(1452981.2545 AS DOUBLE)),
+        |  (CAST(16 AS BIGINT), CAST(3035 AS INTEGER), CAST(4321000.0 AS DOUBLE), CAST(3210000.0 AS DOUBLE)),
+        |  (CAST(17 AS BIGINT), CAST(3035 AS INTEGER), CAST(3159766.9306 AS DOUBLE), CAST(2030142.1132 AS DOUBLE)),
+        |  (CAST(18 AS BIGINT), CAST(2154 AS INTEGER), CAST(852037.9367 AS DOUBLE), CAST(6870250.2248 AS DOUBLE)),
+        |  (CAST(19 AS BIGINT), CAST(4326 AS INTEGER), CAST(-0.12835398 AS DOUBLE), CAST(51.50399083 AS DOUBLE)))
+        |AS t(pid, epsg, x_r, y_r)""".stripMargin,
     "q_overlay" ->
       // closed-form axis-aligned rect overlap
       """WITH a AS (

@@ -135,16 +135,28 @@ object GeoRt {
   def mercYToLat(y: Double): Double =
     math.toDegrees(2 * math.atan(math.exp(y / EarthRadius)) - math.Pi / 2)
 
-  /** st_transform for the supported pair (4326 <-> 3857); identity otherwise
-    * when srcSrid == dstSrid.
+  /** st_transform: 4326<->3857 via the exact spherical web-mercator maps
+    * (kept byte-stable for the warp/reproject goldens), every other pair
+    * through the general [[graft.core.Proj]] engine (TMerc/UTM, LCC 2SP,
+    * polar stereographic, LAEA, Helmert datum shifts — the common-EPSG
+    * slice of `gdal/ogr/ogrct.cpp:905`).
     */
   def transform(wkb: Array[Byte], srcSrid: Int, dstSrid: Int): Array[Byte] = {
     if (srcSrid == dstSrid) return wkb
     val fn: (Double, Double) => (Double, Double) = (srcSrid, dstSrid) match {
       case (4326, 3857) => (x, y) => (lonToMercX(x), latToMercY(y))
       case (3857, 4326) => (x, y) => (mercXToLon(x), mercYToLat(y))
-      case _ => throw new IllegalArgumentException(
-        s"st_transform: unsupported SRID pair $srcSrid -> $dstSrid (supported: 4326<->3857)")
+      case _ =>
+        val src = graft.core.Proj.byEpsg(srcSrid)
+        val dst = graft.core.Proj.byEpsg(dstSrid)
+        (src, dst) match {
+          case (Some(s), Some(d)) =>
+            (x, y) => graft.core.Proj.transformPoint(s, d, x, y)
+          case _ => throw new IllegalArgumentException(
+            s"st_transform: unsupported SRID pair $srcSrid -> $dstSrid " +
+              "(supported: 4326<->3857 spherical; general: 4326/4258/4277, " +
+              "UTM 326xx/327xx/258xx, 27700, 2154, 3413, 3031, 5041, 5042, 3035)")
+        }
     }
     def tx(g: Geom): Geom = g match {
       case GPoint(px, py, z, h) => val (nx, ny) = fn(px, py); GPoint(nx, ny, z, h)

@@ -38,6 +38,8 @@ object gf {
   def st_distance(a: Column, b: Column): Column = col(StDistance(x(a), x(b)))
   def st_transform(g: Column, srcSrid: Int, dstSrid: Int): Column =
     col(StTransform(x(g), x(lit(srcSrid)), x(lit(dstSrid))))
+  def st_transform(g: Column, srcSrid: Column, dstSrid: Column): Column =
+    col(StTransform(x(g), x(srcSrid.cast("int")), x(dstSrid.cast("int"))))
 
   // ---- constructive ops ----
   def st_buffer(g: Column, dist: Column): Column = col(StBuffer(x(g), x(dist.cast("double"))))

@@ -186,16 +186,25 @@ object Ann {
     * codebook broadcast); assignment is one map over the corpus; the
     * query-bucket join shuffles only probed buckets; top-k reduces via
     * per-partition heaps. No all-pairs stage anywhere.
+    *
+    * @param sampleMod keep every row whose xxhash64(id) % sampleMod == 0
+    *                  for codebook training. Default 0 = auto: one count()
+    *                  of the corpus picks sampleMod so ~nlist·40 rows reach
+    *                  the driver — never a full-corpus collect at scale.
     */
   def ivfTopK(corpus: DataFrame, id: Column, vec: Column,
               queries: DataFrame, qid: Column, qvec: Column,
               k: Int, nlist: Int = 64, nprobe: Int = 8,
-              sampleMod: Int = 1): DataFrame = {
+              sampleMod: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c0 = corpus.select(id.cast("long").as("id"), vec.as("__v"))
-    // deterministic sample for training
-    val sample = c0.filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
+    // deterministic sample for training, bounded to ~nlist·40 rows unless
+    // the caller pins an explicit sampleMod
+    val mod: Long =
+      if (sampleMod >= 1) sampleMod.toLong
+      else math.max(1L, c0.count() / math.max(1L, nlist.toLong * 40L))
+    val sample = c0.filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
       .select(col("__v")).as[Array[Float]].collect()
       .map(_.map(_.toDouble))
     val centroids = trainCentroids(sample, math.min(nlist, math.max(1, sample.length)))

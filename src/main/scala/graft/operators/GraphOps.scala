@@ -164,10 +164,16 @@ object GraphOps {
       val newDist = dist.union(relaxed)
         .groupBy(col("vertex")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(eager = true)
-      val oldCount = dist.count()
-      val stats = newDist.agg(count(lit(1)), sum(col("dist"))).head()
-      val oldSum = dist.agg(coalesce(sum(col("dist")), lit(0.0))).head().getDouble(0)
-      converged = stats.getLong(0) == oldCount && stats.getDouble(1) == oldSum
+      // converged iff no vertex appeared or improved — an exact,
+      // shuffle-order-insensitive test (float-sum equality is not: Spark
+      // sums doubles in partition order, so equal sets can compare unequal
+      // and burn iterations to maxIter)
+      val changed = newDist.as("n")
+        .join(dist.as("o"), col("n.vertex") === col("o.vertex"), "left")
+        .filter(col("o.dist").isNull || col("n.dist") < col("o.dist"))
+        .count()
+      converged = changed == 0L
+      dist.unpersist()
       dist = newDist
       iter += 1
     }

@@ -156,8 +156,13 @@ object GridInterp {
              noData: Double = 0.0): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val samples = points.select(lon.cast("double"), lat.cast("double"),
+    val collected = points.select(lon.cast("double"), lat.cast("double"),
       value.cast("double")).as[(Double, Double, Double)].collect()
+    // dedupe by (x, y) keeping the first value — duplicate coordinates
+    // corrupt the Bowyer-Watson cavity (matching delaunayTriangulation's
+    // .distinct hygiene)
+    val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
+    val samples = collected.filter(s => seen.add((s._1, s._2)))
     val xs = samples.map(_._1); val ys = samples.map(_._2); val zs = samples.map(_._3)
     val tris = graft.core.Delaunay.triangulate(xs, ys)
     val bc = spark.sparkContext.broadcast((xs, ys, zs, tris))

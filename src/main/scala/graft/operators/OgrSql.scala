@@ -17,8 +17,11 @@ object OgrSql {
     */
   def avgDatetime(ts: Column): Column =
     date_format(
-      timestamp_seconds(floor(avg(
-        ts.cast("timestamp").cast("double"))).cast("long")), // NTZ → epoch via session TZ
+      // toward-zero truncation (plain long cast), matching the reference
+      // formatter's integer cast — floor() would differ by 1 s for
+      // pre-1970 (negative-epoch) averages
+      timestamp_seconds(avg(
+        ts.cast("timestamp").cast("double")).cast("long")), // NTZ → epoch via session TZ
       "yyyy/MM/dd HH:mm:ss")
 
   /** OGR_STYLE special field (`gdal/ogr/ogrfeaturequery.cpp:45`): the

@@ -66,6 +66,24 @@ object Warp {
   val lonLatToMerc: GeoTx = (x, y) =>
     (graft.expr.GeoRt.lonToMercX(x), graft.expr.GeoRt.latToMercY(y))
 
+  /** General dst-EPSG → src-EPSG pull transform through
+    * [[graft.core.Proj]] (UTM/TMerc, LCC, polar stereo, LAEA, datum
+    * shifts) — the warp-side face of `GDALCreateGenImgProjTransformer`
+    * (`gdal/alg/gdaltransformer.cpp:975`). The 3857↔4326 pair keeps the
+    * original spherical fast path so existing goldens stay byte-stable.
+    */
+  def epsgTx(dstEpsg: Int, srcEpsg: Int): GeoTx = (dstEpsg, srcEpsg) match {
+    case (a, b) if a == b => identityTx
+    case (3857, 4326) => mercToLonLat
+    case (4326, 3857) => lonLatToMerc
+    case _ =>
+      val d = graft.core.Proj.byEpsg(dstEpsg).getOrElse(
+        throw new IllegalArgumentException(s"warp: unsupported dst EPSG $dstEpsg"))
+      val s = graft.core.Proj.byEpsg(srcEpsg).getOrElse(
+        throw new IllegalArgumentException(s"warp: unsupported src EPSG $srcEpsg"))
+      (x, y) => graft.core.Proj.transformPoint(d, s, x, y)
+  }
+
   /** Continuous src pixel coords of a dst pixel center. */
   @inline private def srcPixelOf(dx: Int, dy: Int, dstGt: GeoTransform,
                                  tx: GeoTx, srcInv: GeoTransform): (Double, Double) = {

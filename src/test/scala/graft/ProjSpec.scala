@@ -1,0 +1,143 @@
+package graft
+
+import graft.core.Proj
+import graft.core.Proj._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CRS kernel validation against published worked examples (independent of
+  * this implementation) plus forward/inverse roundtrip closure.
+  */
+class ProjSpec extends AnyFunSuite {
+
+  private def dms(d: Int, m: Int, s: Double): Double = d + m / 60.0 + s / 3600.0
+
+  test("WGS84 quarter meridian (known geodetic constant)") {
+    // equator→pole meridian arc = 10 001 965.729 m
+    val qm = WGS84.a * {
+      // access mlfn through a TMerc y at the pole on the central meridian
+      val tm = TMerc(WGS84, 0, 0, 1.0, 0, 0)
+      tm.forward(0, math.Pi / 2)._2 / WGS84.a
+    }
+    assert(math.abs(qm - 10001965.729) < 0.01, s"quarter meridian $qm")
+  }
+
+  test("OSGB36 worked example (OS 'A guide to coordinate systems in GB')") {
+    // φ 52°39'27.2531"N  λ 1°43'4.5177"E  →  E 651409.903  N 313177.270
+    val bng = TMerc(Airy1830, -2, 49, 0.9996012717, 400000, -100000)
+    val lat = math.toRadians(dms(52, 39, 27.2531))
+    val lon = math.toRadians(dms(1, 43, 4.5177))
+    val (e, n) = bng.forward(lon, lat)
+    assert(math.abs(e - 651409.903) < 0.005, s"easting $e")
+    assert(math.abs(n - 313177.270) < 0.005, s"northing $n")
+    val (ilon, ilat) = bng.inverse(e, n)
+    assert(math.abs(math.toDegrees(ilon) - dms(1, 43, 4.5177)) < 1e-7)
+    assert(math.abs(math.toDegrees(ilat) - dms(52, 39, 27.2531)) < 1e-7)
+  }
+
+  test("LCC 2SP Snyder numerical example (USGS PP1395 p.296)") {
+    // Clarke 1866, SP 33/45, origin 23/-96; φ=35 λ=-75 → x=1894410.9 y=1564649.5
+    val lcc = Lcc2SP(Clarke1866, 33, 45, 23, -96, 0, 0)
+    val (x, y) = lcc.forward(math.toRadians(-75), math.toRadians(35))
+    assert(math.abs(x - 1894410.9) < 0.5, s"x $x")
+    assert(math.abs(y - 1564649.5) < 0.5, s"y $y")
+    val (ilon, ilat) = lcc.inverse(x, y)
+    assert(math.abs(math.toDegrees(ilon) + 75) < 1e-7)
+    assert(math.abs(math.toDegrees(ilat) - 35) < 1e-7)
+  }
+
+  test("UTM closed-form identities") {
+    val utm31 = byEpsg(32631).get.proj
+    // on the central meridian at the equator: exactly the false origin
+    val (x0, y0) = utm31.forward(math.toRadians(3), 0)
+    assert(math.abs(x0 - 500000) < 1e-6 && math.abs(y0) < 1e-6)
+    // UTM south false northing
+    val utm33s = byEpsg(32733).get.proj
+    val (_, ys) = utm33s.forward(math.toRadians(15), 0)
+    assert(math.abs(ys - 10000000) < 1e-6)
+    // scale on the central meridian is k0: y(1 deg of lat)/arc ≈ 0.9996
+    val (_, y1) = utm31.forward(math.toRadians(3), math.toRadians(1))
+    val arc = 110574.389 // WGS84 meridian arc 0°→1°, known value
+    assert(math.abs(y1 / arc - 0.9996) < 1e-5)
+  }
+
+  test("polar stereographic axis orientation (EPSG 3413 / 3031)") {
+    val n3413 = byEpsg(3413).get.proj
+    // grid north along λ0=-45: a point on that meridian has x=0, y<0 side?
+    val (xa, ya) = n3413.forward(math.toRadians(-45), math.toRadians(80))
+    assert(math.abs(xa) < 1e-6 && ya < 0, s"3413 λ0 meridian → ($xa,$ya)")
+    val s3031 = byEpsg(3031).get.proj
+    val (xb, yb) = s3031.forward(math.toRadians(0), math.toRadians(-75))
+    assert(math.abs(xb) < 1e-6 && yb > 0, s"3031 λ0 meridian → ($xb,$yb)")
+    // 90E in the south aspect → +x
+    val (xc, yc) = s3031.forward(math.toRadians(90), math.toRadians(-75))
+    assert(xc > 0 && math.abs(yc) < 1e-6)
+  }
+
+  test("forward/inverse roundtrip closure for every registered EPSG") {
+    val pts = Seq( // (lonDeg, latDeg) spread across each CRS's usable area
+      (1.0, 51.0), (3.5, 48.0), (-1.9, 52.5), (14.9, -33.0), (15.5, -2.0),
+      (-44.0, 75.0), (-46.0, 82.0), (120.0, -80.0), (0.5, -88.0),
+      (9.0, 50.0), (11.0, 55.0), (5.1, 60.0))
+    val codes = Seq(32631, 32733, 25832, 27700, 2154, 3413, 3031, 5041, 5042, 3035)
+    for (code <- codes) {
+      val crs = byEpsg(code).get
+      for ((lonD, latD) <- pts) {
+        // keep each point within the projection's sane domain
+        val ok = code match {
+          case 32631 => lonD > 0 && lonD < 6 && latD > 0
+          case 32733 => lonD > 12 && lonD < 18 && latD < 0
+          case 25832 => lonD > 6 && lonD < 12 && latD > 0
+          case 27700 => lonD > -8 && lonD < 2 && latD > 49 && latD < 61
+          case 2154 => lonD > -5 && lonD < 10 && latD > 41 && latD < 51
+          case 3413 => latD > 60
+          case 5041 => latD > 60
+          case 3031 => latD < -60
+          case 5042 => latD < -60
+          case 3035 => lonD > -10 && lonD < 30 && latD > 35 && latD < 70
+        }
+        if (ok) {
+          val (lon, lat) = (math.toRadians(lonD), math.toRadians(latD))
+          val (x, y) = crs.proj.forward(lon, lat)
+          val (ilon, ilat) = crs.proj.inverse(x, y)
+          assert(math.abs(ilon - lon) < 1e-10 && math.abs(ilat - lat) < 1e-10,
+            s"EPSG $code roundtrip at ($lonD,$latD): ($ilon,$ilat) vs ($lon,$lat)")
+        }
+      }
+    }
+  }
+
+  test("datum shift: 27700 ↔ 4326 against OS-published Greenwich relation") {
+    // WGS84 Greenwich Observatory (51.476852N, 0.000500W approx) lies at
+    // OSGB36 longitude ≈ +0.0015 deg east of the OSGB36 zero meridian —
+    // i.e. the BNG easting of the WGS84 (0°, 51.477°) point is ~112 m east
+    // of the Airy-only (no-datum) mapping. Assert the shift magnitude and
+    // the exact roundtrip instead of a pinned third-party value.
+    val src = byEpsg(4326).get
+    val dst = byEpsg(27700).get
+    val (e, n) = transformPoint(src, dst, 0.0, 51.476852)
+    val noShift = TMerc(Airy1830, -2, 49, 0.9996012717, 400000, -100000)
+    val (e0, n0) = noShift.forward(0.0, math.toRadians(51.476852))
+    val de = e - e0; val dn = n - n0
+    // OSGB36–WGS84 offsets in SE England are ~ +100±30 m E, ~ -70±30 m N
+    assert(de > 60 && de < 140, s"easting shift $de")
+    assert(dn > -110 && dn < -30, s"northing shift $dn")
+    val (lonB, latB) = transformPoint(dst, src, e, n)
+    assert(math.abs(lonB - 0.0) < 1e-7 && math.abs(latB - 51.476852) < 1e-7)
+  }
+
+  test("helmert inverse is the exact inverse of forward") {
+    val h = Osgb36ToWgs84
+    val (x, y, z) = geodeticToGeocentric(Airy1830, 0.02, 0.91)
+    val (fx, fy, fz) = h.forward(x, y, z)
+    val (ix, iy, iz) = h.inverse(fx, fy, fz)
+    assert(math.abs(ix - x) < 1e-9 && math.abs(iy - y) < 1e-9 && math.abs(iz - z) < 1e-7)
+  }
+
+  test("geocentric roundtrip") {
+    val (x, y, z) = geodeticToGeocentric(WGS84, math.toRadians(5), math.toRadians(47), 250)
+    val (lon, lat, h) = geocentricToGeodetic(WGS84, x, y, z)
+    assert(math.abs(math.toDegrees(lon) - 5) < 1e-11)
+    assert(math.abs(math.toDegrees(lat) - 47) < 1e-11)
+    assert(math.abs(h - 250) < 1e-6)
+  }
+}
