@@ -729,6 +729,82 @@ object SparkEntry {
         r(gf.st_x(g)).as("x_r"), r(gf.st_y(g)).as("y_r"))
     }),
 
+    "q_dissolve" -> ((s, d) => {
+      import s.implicits._
+      // cascaded union (st_union_agg aggregate over the arrangement):
+      // groups 0..4 are chains of k = 3+g%3 overlapping rects
+      // [i, i+1.4]×[0, 1+0.5g] dissolving to ONE polygon of closed-form
+      // area (3.4 + g%3)·(1+0.5g); group 5 is two disjoint unit squares
+      // (MULTIPOLYGON, area 2)
+      def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+        s"POLYGON(($x0 $y0,$x1 $y0,$x1 $y1,$x0 $y1,$x0 $y0))"
+      val rows =
+        (for (g <- 0 until 5; i <- 0 until (3 + g % 3))
+          yield (g.toLong, rect(i, 0, i + 1.4, 1 + 0.5 * g))) ++
+          Seq((5L, rect(0, 0, 1, 1)), (5L, rect(5, 0, 6, 1)))
+      rows.toDF("g", "wkt")
+        .groupBy(col("g"))
+        .agg(gf.st_union_agg(gf.st_geomfromtext(col("wkt"))).as("diss"))
+        .select(col("g"), gf.st_geometrytype(col("diss")).as("gtype"),
+          round(gf.st_area(col("diss")), 4).as("area_r"),
+          gf.st_numgeometries(col("diss")).as("n_parts"))
+    }),
+    "q_polygonize_geom" -> ((s, d) => {
+      import s.implicits._
+      // geometry-level polygonize (noded linework → bounded faces,
+      // dangles dropped, holes assigned): closed-form face counts/areas
+      Seq(
+        ("grid", "MULTILINESTRING((0 0,3 0),(0 1,3 1),(0 2,3 2),(0 3,3 3)," +
+          "(0 0,0 3),(1 0,1 3),(2 0,2 3),(3 0,3 3))"),
+        ("donut", "MULTILINESTRING((0 0,6 0,6 6,0 6,0 0),(2 2,4 2,4 4,2 4,2 2))"),
+        ("dangle", "MULTILINESTRING((0 0,2 0,2 2,0 2,0 0),(2 2,5 5))"))
+        .toDF("name", "wkt")
+        .select(col("name"),
+          gf.st_polygonize(gf.st_geomfromtext(col("wkt"))).as("f"))
+        .select(col("name"), gf.st_numgeometries(col("f")).as("n_faces"),
+          round(gf.st_area(col("f")), 4).as("area_r"))
+    }),
+    "q_buffer_concave" -> ((s, d) => {
+      import s.implicits._
+      // exact concave buffer via the capsule-union arrangement. The
+      // rectilinear L (A=7, P=16, 5 convex + 1 reflex right angle)
+      // dilated by d has closed-form area A + P·d − d² + 5·πd²/4; the
+      // 32-gon arcs may only subtract the inscribed-chord deficit.
+      // Erosion of the 6×6 square by 1 is exactly the 4×4 square.
+      val lShape = "POLYGON((0 0,4 0,4 1,1 1,1 4,0 4,0 0))"
+      val sq6 = "POLYGON((0 0,6 0,6 6,0 6,0 0))"
+      val dd = 0.5
+      val exact = 7.0 + 16.0 * dd - dd * dd + 5 * math.Pi * dd * dd / 4
+      val deficit = (math.Pi / 4 - 4 * math.sin(math.Pi / 16)) * dd * dd
+      Seq((lShape, sq6)).toDF("l", "s")
+        .withColumn("buf", gf.st_buffer(gf.st_geomfromtext(col("l")), lit(dd)))
+        .select(
+          ((gf.st_area(col("buf")) <= exact + 1e-4) &&
+            (gf.st_area(col("buf")) >= exact - 5 * deficit - 1e-4))
+            .cast("int").as("ok_dilate"),
+          round(gf.st_area(gf.st_buffer(gf.st_geomfromtext(col("s")), lit(-1.0))), 3)
+            .as("area_erode"),
+          gf.st_contains_point(col("buf"), lit(1.3), lit(1.3))
+            .cast("int").as("in_reflex"),
+          gf.st_contains_point(col("buf"), lit(1.8), lit(1.8))
+            .cast("int").as("out_reflex"))
+    }),
+    "q_simplify_pt" -> ((s, d) => {
+      import s.implicits._
+      // SimplifyPreserveTopology: near-collinear noise removed so the
+      // exact 4-corner square comes back (original corners untouched);
+      // plain-DP-safe cases behave identically; open lines follow DP
+      Seq(
+        ("noisy_square", "POLYGON((0 0,2 0.01,4 0,4 4,2 4.01,0 4,0 0))", 0.1),
+        ("square_bigtol", "POLYGON((0 0,4 0,4 4,0 4,0 0))", 10.0),
+        ("open_line", "LINESTRING(0 0,1 0.001,2 0,2 5)", 0.01))
+        .toDF("name", "wkt", "tol")
+        .withColumn("g2", gf.st_simplify_preserve_topology(
+          gf.st_geomfromtext(col("wkt")), col("tol")))
+        .select(col("name"), gf.st_numpoints(col("g2")).as("n_pts"),
+          round(gf.st_area(col("g2")), 4).as("area_r"))
+    }),
+
     // ---------------- DEM family (distributed 3×3 over strips) ----------------
     "q_aspect" -> ((s, d) =>
       demEmit(graft.raster.Dem.aspect(s, demGridStrips(s, 9), 40, 30), "asp_r")),
@@ -1413,6 +1489,30 @@ object SparkEntry {
         |  (CAST(18 AS BIGINT), CAST(2154 AS INTEGER), CAST(852037.9367 AS DOUBLE), CAST(6870250.2248 AS DOUBLE)),
         |  (CAST(19 AS BIGINT), CAST(4326 AS INTEGER), CAST(-0.12835398 AS DOUBLE), CAST(51.50399083 AS DOUBLE)))
         |AS t(pid, epsg, x_r, y_r)""".stripMargin,
+    "q_dissolve" ->
+      // closed-form dissolve: chain width (k−1)+1.4 = 2.4 + g%3 times
+      // height 1+0.5g; group 5 = two disjoint unit squares
+      """SELECT CAST(g AS BIGINT) AS g,
+        |  CASE WHEN g = 5 THEN 'MULTIPOLYGON' ELSE 'POLYGON' END AS gtype,
+        |  round(CAST(CASE WHEN g = 5 THEN 2.0
+        |       ELSE (3.4 + (g % 3)) * (1 + 0.5 * g) END AS DOUBLE), 4) AS area_r,
+        |  CAST(CASE WHEN g = 5 THEN 2 ELSE 1 END AS INTEGER) AS n_parts
+        |FROM (SELECT unnest(generate_series(0, 5)) AS g)""".stripMargin,
+    "q_polygonize_geom" ->
+      """SELECT * FROM (VALUES
+        |  ('grid', 9, CAST(9.0 AS DOUBLE)),
+        |  ('donut', 2, CAST(36.0 AS DOUBLE)),
+        |  ('dangle', 1, CAST(4.0 AS DOUBLE)))
+        |AS t(name, n_faces, area_r)""".stripMargin,
+    "q_buffer_concave" ->
+      """SELECT 1 AS ok_dilate, CAST(16.0 AS DOUBLE) AS area_erode,
+        |       1 AS in_reflex, 0 AS out_reflex""".stripMargin,
+    "q_simplify_pt" ->
+      """SELECT * FROM (VALUES
+        |  ('noisy_square', 5, CAST(16.0 AS DOUBLE)),
+        |  ('square_bigtol', 5, CAST(16.0 AS DOUBLE)),
+        |  ('open_line', 3, CAST(0.0 AS DOUBLE)))
+        |AS t(name, n_pts, area_r)""".stripMargin,
     "q_overlay" ->
       // closed-form axis-aligned rect overlap
       """WITH a AS (

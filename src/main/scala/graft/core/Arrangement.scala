@@ -1,0 +1,685 @@
+package graft.core
+
+import scala.collection.mutable.{ArrayBuffer, HashMap => MHashMap}
+
+/** Snap-rounded planar arrangement with winding-number face classification —
+  * the engine behind exact boolean overlay on polygons WITH holes, cascaded
+  * n-way union (dissolve), exact concave buffer (capsule union), and
+  * geometry-level polygonize. Replaces the approximations the
+  * Greiner–Hormann pairwise clipper (GeomClip) cannot express
+  * (reference: GEOS OverlayNG's snap-rounding noder + winding extraction,
+  * which backs `gdal/ogr/ogrgeometry.cpp:3335` Union, `:3532`
+  * UnionCascaded, `:3229` Buffer, `:4923` Polygonize).
+  *
+  * Pipeline: quantize input rings to an even-integer grid → iterated
+  * pairwise noding (split at proper crossings / endpoint touches /
+  * collinear overlaps, rounded to the grid) → merge coincident segments
+  * with net directed weights per region → half-edge face traversal →
+  * per-face winding vector via an exact symbolic-perturbation ray cast
+  * from an edge midpoint → boundary darts of kept faces → output cycles →
+  * hole assignment by exact vertical ray shooting.
+  *
+  * All predicates are exact in Long arithmetic (coords ≤ 2^28, cross
+  * products ≤ 2^57); only split-point placement uses doubles, which the
+  * noding iteration re-checks. Complexity is O(S²) per geometry — fine for
+  * per-row geometries and moderate dissolve groups.
+  */
+object Arrangement {
+
+  private final val GridBits = 26
+
+  // ---------------------------------------------------------------- input
+
+  /** One input ring: open or closed interleaved xy + region id + weight
+    * (+1 as given, −1 to traverse reversed).
+    */
+  private final case class InRing(xy: Array[Double], region: Int, w: Int)
+
+  final class Builder(nRegions: Int) {
+    private val rings = ArrayBuffer[InRing]()
+
+    /** Add a ring with even-odd semantics in mind (orientation-free). */
+    def addRing(xy: Array[Double], region: Int): Unit =
+      rings += InRing(xy, region, 1)
+
+    /** Add a ring normalized for nonzero-winding semantics: exterior rings
+      * forced counter-clockwise (weight +1), holes clockwise (−1).
+      */
+    def addRingOriented(xy: Array[Double], region: Int, ccw: Boolean): Unit = {
+      val n = openLen(xy) / 2
+      var a2 = 0.0
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        a2 += xy(2 * i) * xy(2 * j + 1) - xy(2 * j) * xy(2 * i + 1)
+        i += 1
+      }
+      val isCcw = a2 >= 0
+      rings += InRing(xy, region, if (isCcw == ccw) 1 else -1)
+    }
+
+    /** Every ring of the geometry into one region (even-odd). */
+    def addGeom(g: Geom, region: Int): Unit = g match {
+      case p: GPolygon => p.rings.foreach(r => addRing(r.xy, region))
+      case GMulti(_, gs) => gs.foreach(addGeom(_, region))
+      case l: GLine => addRing(l.xy, region)
+      case _ => ()
+    }
+
+    /** Polygon with nonzero normalization: ring 0 CCW, holes CW. */
+    def addPolygonOriented(p: GPolygon, region: Int): Unit = {
+      if (p.rings.nonEmpty) addRingOriented(p.rings(0).xy, region, ccw = true)
+      var i = 1
+      while (i < p.rings.length) {
+        addRingOriented(p.rings(i).xy, region, ccw = false)
+        i += 1
+      }
+    }
+
+    def addGeomOriented(g: Geom, region: Int): Unit = g match {
+      case p: GPolygon => addPolygonOriented(p, region)
+      case GMulti(_, gs) => gs.foreach(addGeomOriented(_, region))
+      case _ => ()
+    }
+
+    /** Run the overlay; `keep` sees the per-region winding vector. */
+    def result(keep: Array[Int] => Boolean): Seq[GPolygon] =
+      Arrangement.run(rings.toSeq, nRegions, keep)
+  }
+
+  private def openLen(xy: Array[Double]): Int = {
+    val n = xy.length
+    if (n >= 4 && xy(0) == xy(n - 2) && xy(1) == xy(n - 1)) n - 2 else n
+  }
+
+  // ---------------------------------------------------- exact primitives
+
+  @inline private def orient(ax: Long, ay: Long, bx: Long, by: Long,
+                             cx: Long, cy: Long): Int = {
+    val v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    java.lang.Long.signum(v)
+  }
+
+  @inline private def onSeg(ax: Long, ay: Long, bx: Long, by: Long,
+                            cx: Long, cy: Long): Boolean =
+    cx >= math.min(ax, bx) && cx <= math.max(ax, bx) &&
+      cy >= math.min(ay, by) && cy <= math.max(ay, by)
+
+  // ------------------------------------------------------------- noding
+
+  private final class SegM(var ax: Long, var ay: Long, var bx: Long,
+                           var by: Long, val w: Array[Int])
+
+  /** Canonical direction: (ax,ay) < (bx,by) lexicographically. Flips the
+    * weight sign when the stored direction is reversed.
+    */
+  private def canon(s: SegM): SegM =
+    if (s.ax < s.bx || (s.ax == s.bx && s.ay < s.by)) s
+    else {
+      val f = new SegM(s.bx, s.by, s.ax, s.ay, s.w.map(-_))
+      f
+    }
+
+  private def node(segs0: ArrayBuffer[SegM]): ArrayBuffer[SegM] = {
+    var segs = segs0.filter(s => s.ax != s.bx || s.ay != s.by)
+    var pass = 0
+    var changed = true
+    while (changed && pass < 8) {
+      changed = false
+      pass += 1
+      val splits = Array.fill(segs.length)(ArrayBuffer[(Long, Long)]())
+      @inline def addSplit(i: Int, x: Long, y: Long): Unit = {
+        val s = segs(i)
+        if (!((x == s.ax && y == s.ay) || (x == s.bx && y == s.by)) &&
+          onSeg(s.ax, s.ay, s.bx, s.by, x, y) &&
+          orient(s.ax, s.ay, s.bx, s.by, x, y) == 0) {
+          if (!splits(i).contains((x, y))) { splits(i) += ((x, y)); changed = true }
+        }
+      }
+      var i = 0
+      while (i < segs.length) {
+        val s1 = segs(i)
+        var j = i + 1
+        while (j < segs.length) {
+          val s2 = segs(j)
+          // bbox reject
+          if (!(math.max(s1.ax, s1.bx) < math.min(s2.ax, s2.bx) ||
+            math.max(s2.ax, s2.bx) < math.min(s1.ax, s1.bx) ||
+            math.max(s1.ay, s1.by) < math.min(s2.ay, s2.by) ||
+            math.max(s2.ay, s2.by) < math.min(s1.ay, s1.by))) {
+            val o1 = orient(s1.ax, s1.ay, s1.bx, s1.by, s2.ax, s2.ay)
+            val o2 = orient(s1.ax, s1.ay, s1.bx, s1.by, s2.bx, s2.by)
+            val o3 = orient(s2.ax, s2.ay, s2.bx, s2.by, s1.ax, s1.ay)
+            val o4 = orient(s2.ax, s2.ay, s2.bx, s2.by, s1.bx, s1.by)
+            if (o1 == 0 && o2 == 0) {
+              // collinear: split each at the other's interior endpoints
+              addSplit(i, s2.ax, s2.ay); addSplit(i, s2.bx, s2.by)
+              addSplit(j, s1.ax, s1.ay); addSplit(j, s1.bx, s1.by)
+            } else if (o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0) {
+              // proper crossing: rounded to the even grid
+              val r1x = (s1.bx - s1.ax).toDouble; val r1y = (s1.by - s1.ay).toDouble
+              val r2x = (s2.bx - s2.ax).toDouble; val r2y = (s2.by - s2.ay).toDouble
+              val den = r1x * r2y - r1y * r2x
+              val t = ((s2.ax - s1.ax) * r2y - (s2.ay - s1.ay) * r2x) / den
+              val px = roundEven(s1.ax + t * r1x)
+              val py = roundEven(s1.ay + t * r1y)
+              addSplit(i, px, py); addSplit(j, px, py)
+            } else {
+              // endpoint touching the other's interior
+              if (o1 == 0) addSplit(i, s2.ax, s2.ay)
+              if (o2 == 0) addSplit(i, s2.bx, s2.by)
+              if (o3 == 0) addSplit(j, s1.ax, s1.ay)
+              if (o4 == 0) addSplit(j, s1.bx, s1.by)
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (changed) {
+        val next = ArrayBuffer[SegM]()
+        i = 0
+        while (i < segs.length) {
+          val s = segs(i)
+          if (splits(i).isEmpty) next += s
+          else {
+            // order split points along the segment
+            val pts = ((s.ax, s.ay) +: splits(i).sortBy { case (x, y) =>
+              val dx = x - s.ax; val dy = y - s.ay
+              dx * (s.bx - s.ax) + dy * (s.by - s.ay) // projection, exact order
+            } :+ (s.bx, s.by)).distinct
+            var k = 0
+            while (k < pts.length - 1) {
+              val (x1, y1) = pts(k); val (x2, y2) = pts(k + 1)
+              if (x1 != x2 || y1 != y2) next += new SegM(x1, y1, x2, y2, s.w.clone())
+              k += 1
+            }
+          }
+          i += 1
+        }
+        segs = next
+      }
+    }
+    // merge coincident segments: net directed weight per region
+    val merged = MHashMap[(Long, Long, Long, Long), Array[Int]]()
+    segs.foreach { s0 =>
+      val s = canon(s0)
+      val key = (s.ax, s.ay, s.bx, s.by)
+      merged.get(key) match {
+        case Some(w) => var r = 0; while (r < w.length) { w(r) += s.w(r); r += 1 }
+        case None => merged(key) = s.w.clone()
+      }
+    }
+    val out = ArrayBuffer[SegM]()
+    merged.foreach { case ((ax, ay, bx, by), w) =>
+      if (w.exists(_ != 0)) out += new SegM(ax, ay, bx, by, w)
+    }
+    out
+  }
+
+  @inline private def roundEven(v: Double): Long = math.round(v / 2.0) * 2
+
+  // -------------------------------------------------------- face machinery
+
+  private final class Graph(segs: ArrayBuffer[SegM]) {
+    // prune dangling edges (degree < 2 vertices) iteratively
+    private var edges = segs
+    locked()
+    private def locked(): Unit = {
+      var pruned = true
+      while (pruned) {
+        pruned = false
+        val deg = MHashMap[(Long, Long), Int]().withDefaultValue(0)
+        edges.foreach { s =>
+          deg((s.ax, s.ay)) += 1; deg((s.bx, s.by)) += 1
+        }
+        val keep = edges.filter(s => deg((s.ax, s.ay)) >= 2 && deg((s.bx, s.by)) >= 2)
+        if (keep.length != edges.length) { pruned = true; edges = keep }
+      }
+    }
+
+    val es: Array[SegM] = edges.toArray
+    val nE: Int = es.length
+    // dart 2e = a→b, 2e+1 = b→a
+    @inline def twin(d: Int): Int = d ^ 1
+    @inline def tailX(d: Int): Long = if ((d & 1) == 0) es(d >> 1).ax else es(d >> 1).bx
+    @inline def tailY(d: Int): Long = if ((d & 1) == 0) es(d >> 1).ay else es(d >> 1).by
+    @inline def headX(d: Int): Long = if ((d & 1) == 0) es(d >> 1).bx else es(d >> 1).ax
+    @inline def headY(d: Int): Long = if ((d & 1) == 0) es(d >> 1).by else es(d >> 1).ay
+    @inline def dirX(d: Int): Long = headX(d) - tailX(d)
+    @inline def dirY(d: Int): Long = headY(d) - tailY(d)
+
+    // darts leaving each vertex, sorted CCW by angle (exact comparator)
+    val outDarts: MHashMap[(Long, Long), Array[Int]] = {
+      val m = MHashMap[(Long, Long), ArrayBuffer[Int]]()
+      var d = 0
+      while (d < 2 * nE) {
+        m.getOrElseUpdate((tailX(d), tailY(d)), ArrayBuffer[Int]()) += d
+        d += 1
+      }
+      val res = MHashMap[(Long, Long), Array[Int]]()
+      m.foreach { case (v, ds) =>
+        res(v) = ds.toArray.sortWith { (d1, d2) =>
+          val x1 = dirX(d1); val y1 = dirY(d1)
+          val x2 = dirX(d2); val y2 = dirY(d2)
+          val h1 = if (y1 < 0 || (y1 == 0 && x1 < 0)) 1 else 0
+          val h2 = if (y2 < 0 || (y2 == 0 && x2 < 0)) 1 else 0
+          if (h1 != h2) h1 < h2
+          else x1 * y2 - y1 * x2 > 0 // d1 strictly CCW-before d2
+        }
+      }
+      res
+    }
+    private val dartPos: Array[Int] = {
+      val p = new Array[Int](2 * nE)
+      outDarts.valuesIterator.foreach { arr =>
+        var i = 0
+        while (i < arr.length) { p(arr(i)) = i; i += 1 }
+      }
+      p
+    }
+
+    /** Face-to-the-left traversal: the CCW-predecessor of twin(d) among
+      * darts leaving head(d), restricted to `included` darts.
+      */
+    def next(d: Int, included: Int => Boolean): Int = {
+      val v = (headX(d), headY(d))
+      val arr = outDarts(v)
+      var i = dartPos(twin(d))
+      var steps = 0
+      while (steps <= arr.length) {
+        i = (i - 1 + arr.length) % arr.length
+        if (included(arr(i))) return arr(i)
+        steps += 1
+      }
+      -1
+    }
+
+    /** Extract boundary cycles over the included darts.
+      * @return (cycleIdPerDart (−1 = excluded), cycles as dart lists)
+      */
+    def cycles(included: Int => Boolean): (Array[Int], ArrayBuffer[ArrayBuffer[Int]]) = {
+      val cid = Array.fill(2 * nE)(-1)
+      val out = ArrayBuffer[ArrayBuffer[Int]]()
+      var d0 = 0
+      while (d0 < 2 * nE) {
+        if (included(d0) && cid(d0) == -1) {
+          val cyc = ArrayBuffer[Int]()
+          var d = d0
+          var guard = 0
+          while (guard <= 2 * nE && (cyc.isEmpty || d != d0)) {
+            cid(d) = out.length
+            cyc += d
+            d = next(d, included)
+            if (d == -1) { guard = 2 * nE + 1 } // defensive
+            guard += 1
+          }
+          out += cyc
+        }
+        d0 += 1
+      }
+      (cid, out)
+    }
+
+    /** Signed area ×2 of a dart cycle (double; exact enough for sign at
+      * our grid scale).
+      */
+    def area2(cyc: ArrayBuffer[Int]): Double = {
+      if (cyc.isEmpty) return 0.0
+      val x0 = tailX(cyc(0)); val y0 = tailY(cyc(0))
+      var a = 0.0
+      cyc.foreach { d =>
+        val ax = (tailX(d) - x0).toDouble; val ay = (tailY(d) - y0).toDouble
+        val bx = (headX(d) - x0).toDouble; val by = (headY(d) - y0).toDouble
+        a += ax * by - ay * bx
+      }
+      a
+    }
+
+    /** Winding vector of the face to the LEFT of dart d: exact ray cast
+      * from the (integral, even-grid) midpoint of d's edge, displaced
+      * symbolically to d's left, along d's left normal.
+      */
+    def winding(d: Int, nRegions: Int): Array[Int] = {
+      val mx = (tailX(d) + headX(d)) / 2
+      val my = (tailY(d) + headY(d)) / 2
+      val nx = -dirY(d); val ny = dirX(d) // left normal
+      val w = new Array[Int](nRegions)
+      var e = 0
+      while (e < nE) {
+        val s = es(e)
+        // sides of the ray LINE through m with direction n (0 → +1 symbolic)
+        val ca = java.lang.Long.signum(nx * (s.ay - my) - ny * (s.ax - mx))
+        val cb = java.lang.Long.signum(nx * (s.by - my) - ny * (s.bx - mx))
+        val sa = if (ca == 0) 1 else ca
+        val sb = if (cb == 0) 1 else cb
+        if (sa != sb) {
+          // t > 0 test: t = cross(a−m, b−a) / cross(n, b−a)
+          val bax = s.bx - s.ax; val bay = s.by - s.ay
+          val num = java.lang.Long.signum((s.ax - mx) * bay - (s.ay - my) * bax)
+          val den = java.lang.Long.signum(nx * bay - ny * bax)
+          if (num != 0 && den != 0 && num == den) {
+            // crossing direction sign: canonical a→b crossing the ray
+            // left-to-right vs right-to-left = sign of cross(n, b−a)
+            var r = 0
+            while (r < w.length) { w(r) += den * s.w(r); r += 1 }
+          }
+        }
+        e += 1
+      }
+      w
+    }
+  }
+
+  // ----------------------------------------------------------- assembly
+
+  /** Assign each negative (hole) cycle to the cycle bounding its face from
+    * below, by exact vertical ray shooting from the cycle's bottom-most
+    * vertex over the boundary edge set. Returns parent cycle id or −1
+    * (unbounded).
+    */
+  private def holeParent(g: Graph, cyc: ArrayBuffer[Int],
+                         boundaryDarts: Array[Boolean], cid: Array[Int]): Int = {
+    // bottom-most then left-most tail vertex of the cycle
+    var vx = g.tailX(cyc(0)); var vy = g.tailY(cyc(0))
+    cyc.foreach { d =>
+      val x = g.tailX(d); val y = g.tailY(d)
+      if (y < vy || (y == vy && x < vx)) { vx = x; vy = y }
+    }
+    var best = -1
+    var bestNum = BigInt(0); var bestDen = BigInt(1) // yc as num/den, den>0
+    var e = 0
+    while (e < g.nE) {
+      val dUp = 2 * e // canonical a→b has ax<bx or (ax==bx) — vertical skipped
+      if (boundaryDarts(dUp) || boundaryDarts(dUp + 1)) {
+        val s = g.es(e)
+        // orient left-to-right; half-open [x1, x2)
+        val (x1, y1, x2, y2) = if (s.ax < s.bx) (s.ax, s.ay, s.bx, s.by)
+          else (s.bx, s.by, s.ax, s.ay)
+        if (x1 <= vx && vx < x2) {
+          // yc = y1 + (vx−x1)(y2−y1)/(x2−x1); require yc < vy strictly
+          val den = x2 - x1
+          val num = y1 * den + (vx - x1) * (y2 - y1)
+          if (num < vy * den) {
+            val bn = BigInt(num); val bd = BigInt(den)
+            if (best == -1 || bn * bestDen > bestNum * bd) {
+              bestNum = bn; bestDen = bd
+              // dart pointing +x has the face above on its left
+              val plusX = if (g.es(e).ax < g.es(e).bx) 2 * e else 2 * e + 1
+              best = cid(if (boundaryDarts(plusX)) plusX else g.twin(plusX))
+            }
+          }
+        }
+      }
+      e += 1
+    }
+    best
+  }
+
+  private def emit(g: Graph, cycles: ArrayBuffer[ArrayBuffer[Int]],
+                   cid: Array[Int], boundaryDarts: Array[Boolean],
+                   fromGrid: (Long, Long) => (Double, Double)): Seq[GPolygon] = {
+    val areas = cycles.map(g.area2)
+    val nC = cycles.length
+    // positives = exteriors; negatives link to the cycle below them
+    val parent = Array.fill(nC)(-1)
+    var c = 0
+    while (c < nC) {
+      if (areas(c) < -1e-9 && cycles(c).length >= 3)
+        parent(c) = holeParent(g, cycles(c), boundaryDarts, cid)
+      c += 1
+    }
+    // resolve chains neg→neg→pos
+    def root(c0: Int): Int = {
+      var c = c0; var guard = 0
+      while (c != -1 && areas(c) < 0 && guard < nC + 1) { c = parent(c); guard += 1 }
+      if (c != -1 && areas(c) > 0) c else -1
+    }
+    val holesOf = MHashMap[Int, ArrayBuffer[Int]]()
+    c = 0
+    while (c < nC) {
+      if (areas(c) < -1e-9 && cycles(c).length >= 3) {
+        val r = root(c)
+        if (r != -1) holesOf.getOrElseUpdate(r, ArrayBuffer[Int]()) += c
+      }
+      c += 1
+    }
+    def ringOf(cyc: ArrayBuffer[Int]): GLine = {
+      val pts = new Array[Double]((cyc.length + 1) * 2)
+      var i = 0
+      cyc.foreach { d =>
+        val (x, y) = fromGrid(g.tailX(d), g.tailY(d))
+        pts(2 * i) = x; pts(2 * i + 1) = y
+        i += 1
+      }
+      pts(2 * i) = pts(0); pts(2 * i + 1) = pts(1)
+      GLine(pts)
+    }
+    val out = ArrayBuffer[GPolygon]()
+    c = 0
+    while (c < nC) {
+      if (areas(c) > 1e-9 && cycles(c).length >= 3) {
+        val rings = ringOf(cycles(c)) +:
+          holesOf.getOrElse(c, ArrayBuffer.empty[Int]).map(h => ringOf(cycles(h))).toArray
+        out += GPolygon(rings.toArray)
+      }
+      c += 1
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------- drivers
+
+  private def quantize(rings: Seq[InRing], nRegions: Int)
+      : (ArrayBuffer[SegM], (Long, Long) => (Double, Double)) = {
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+    rings.foreach { r =>
+      var i = 0
+      while (i < r.xy.length / 2) {
+        minX = math.min(minX, r.xy(2 * i)); maxX = math.max(maxX, r.xy(2 * i))
+        minY = math.min(minY, r.xy(2 * i + 1)); maxY = math.max(maxY, r.xy(2 * i + 1))
+        i += 1
+      }
+    }
+    val extent = math.max(math.max(maxX - minX, maxY - minY), 1e-12)
+    val scale = (1L << GridBits).toDouble / extent
+    @inline def q(v: Double, m: Double): Long = math.round((v - m) * scale) * 2
+    val segs = ArrayBuffer[SegM]()
+    rings.foreach { r =>
+      val n = openLen(r.xy) / 2
+      if (n >= 3) {
+        // ring direction honors the weight sign
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          val ax = q(r.xy(2 * i), minX); val ay = q(r.xy(2 * i + 1), minY)
+          val bx = q(r.xy(2 * j), minX); val by = q(r.xy(2 * j + 1), minY)
+          val w = new Array[Int](nRegions)
+          w(r.region) = r.w
+          if (ax != bx || ay != by)
+            segs += (if (r.w >= 0) new SegM(ax, ay, bx, by, w)
+                     else { w(r.region) = 1; new SegM(bx, by, ax, ay, w) })
+          i += 1
+        }
+      }
+    }
+    val back = (ix: Long, iy: Long) => (ix / 2.0 / scale + minX, iy / 2.0 / scale + minY)
+    (segs, back)
+  }
+
+  private def run(rings: Seq[InRing], nRegions: Int,
+                  keep: Array[Int] => Boolean): Seq[GPolygon] = {
+    if (rings.isEmpty) return Seq.empty
+    val (raw, back) = quantize(rings, nRegions)
+    val noded = node(raw)
+    if (noded.isEmpty) return Seq.empty
+    val g = new Graph(noded)
+    if (g.nE == 0) return Seq.empty
+    val (cid, cycs) = g.cycles(_ => true)
+    // winding per cycle (face to the left of its darts)
+    val wind = cycs.map(cyc => g.winding(cyc(0), nRegions))
+    val kept = wind.map(keep)
+    val selected = new Array[Boolean](2 * g.nE)
+    var d = 0
+    while (d < 2 * g.nE) {
+      val c = cid(d); val t = cid(g.twin(d))
+      if (c >= 0 && t >= 0 && kept(c) && !kept(t)) selected(d) = true
+      d += 1
+    }
+    if (!selected.exists(identity)) return Seq.empty
+    val (cid2, cycs2) = g.cycles(dd => selected(dd))
+    emit(g, cycs2, cid2, selected, back)
+  }
+
+  // ------------------------------------------------------------ public ops
+
+  /** Boolean overlay of two geometries (each a polygon / multipolygon,
+    * holes honored, even-odd per side).
+    * op: 0 = intersection, 1 = union, 2 = difference, 3 = symdifference.
+    */
+  def overlay2(a: Geom, b: Geom, op: Int): Seq[GPolygon] = {
+    val bld = new Builder(2)
+    bld.addGeom(a, 0)
+    bld.addGeom(b, 1)
+    val keep: Array[Int] => Boolean = op match {
+      case 0 => w => (w(0) & 1) != 0 && (w(1) & 1) != 0
+      case 1 => w => (w(0) & 1) != 0 || (w(1) & 1) != 0
+      case 2 => w => (w(0) & 1) != 0 && (w(1) & 1) == 0
+      case _ => w => ((w(0) & 1) != 0) != ((w(1) & 1) != 0)
+    }
+    bld.result(keep)
+  }
+
+  /** Cascaded (n-way) union / dissolve: one region, nonzero winding with
+    * normalized ring orientations (`ogrgeometry.cpp:3532` UnionCascaded).
+    */
+  def unionCascaded(gs: Iterable[Geom]): Seq[GPolygon] = {
+    val bld = new Builder(1)
+    gs.foreach(g => bld.addGeomOriented(g, 0))
+    bld.result(w => w(0) != 0)
+  }
+
+  /** Exact buffer of a polygon / multipolygon / line by distance `dist`
+    * (GEOS quadrant-segment arc convention, 4·quadSegs per full turn):
+    * positive = union of the (oriented) geometry with one capsule per
+    * edge; negative = polygon minus the capsules. Handles concave rings
+    * exactly — the arrangement resolves all offset self-intersections.
+    */
+  def buffer(gm: Geom, dist: Double, quadSegs: Int = 8): Seq[GPolygon] = {
+    val n = 4 * quadSegs
+    val d = math.abs(dist)
+    if (d == 0) return gm match {
+      case p: GPolygon => Seq(p)
+      case GMulti(6, gs) => gs.toSeq.collect { case p: GPolygon => p }
+      case _ => Seq.empty
+    }
+    val bld = new Builder(2)
+    var anyPoly = false
+
+    def capsule(x1: Double, y1: Double, x2: Double, y2: Double): Unit = {
+      val len = math.hypot(x2 - x1, y2 - y1)
+      if (len < 1e-15) return
+      val ang = math.atan2(y2 - y1, x2 - x1)
+      val pts = ArrayBuffer[Double]()
+      // semicircle fan around (x2,y2) from ang−π/2 to ang+π/2, then
+      // around (x1,y1) from ang+π/2 to ang+3π/2 — a closed CCW capsule
+      var k = 0
+      while (k <= n / 2) {
+        val a = ang - math.Pi / 2 + math.Pi * k / (n / 2)
+        pts += x2 + d * math.cos(a); pts += y2 + d * math.sin(a)
+        k += 1
+      }
+      k = 0
+      while (k <= n / 2) {
+        val a = ang + math.Pi / 2 + math.Pi * k / (n / 2)
+        pts += x1 + d * math.cos(a); pts += y1 + d * math.sin(a)
+        k += 1
+      }
+      bld.addRingOriented(pts.toArray, 1, ccw = true)
+    }
+
+    def addEdges(xy: Array[Double], closed: Boolean): Unit = {
+      val m = openLen(xy) / 2
+      var i = 0
+      val last = if (closed) m else m - 1
+      while (i < last) {
+        val j = (i + 1) % m
+        capsule(xy(2 * i), xy(2 * i + 1), xy(2 * j), xy(2 * j + 1))
+        i += 1
+      }
+    }
+
+    def walk(g: Geom): Unit = g match {
+      case p: GPolygon =>
+        anyPoly = true
+        bld.addPolygonOriented(p, 0)
+        p.rings.foreach(r => addEdges(r.xy, closed = true))
+      case l: GLine => addEdges(l.xy, closed = l.isClosed)
+      case GPoint(x, y, _, _) =>
+        // a zero-length "edge": emit the full circle fan
+        val pts = new Array[Double](2 * n)
+        var k = 0
+        while (k < n) {
+          val a = 2 * math.Pi * k / n
+          pts(2 * k) = x + d * math.cos(a); pts(2 * k + 1) = y + d * math.sin(a)
+          k += 1
+        }
+        bld.addRingOriented(pts, 1, ccw = true)
+      case GMulti(_, gs) => gs.foreach(walk)
+    }
+    walk(gm)
+
+    if (dist >= 0) bld.result(w => w(0) != 0 || w(1) != 0)
+    else {
+      if (!anyPoly) return Seq.empty
+      bld.result(w => w(0) != 0 && w(1) == 0)
+    }
+  }
+
+  /** Geometry-level polygonize (`ogrgeometry.cpp:4923` Polygonize /
+    * GEOS Polygonizer): node the input linework, drop dangles, and emit
+    * every bounded face as a polygon (with holes).
+    */
+  def polygonizeLines(lines: Iterable[GLine]): Seq[GPolygon] = {
+    val segs = ArrayBuffer[SegM]()
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+    lines.foreach { l =>
+      var i = 0
+      while (i < l.numPoints) {
+        minX = math.min(minX, l.x(i)); maxX = math.max(maxX, l.x(i))
+        minY = math.min(minY, l.y(i)); maxY = math.max(maxY, l.y(i))
+        i += 1
+      }
+    }
+    if (minX > maxX) return Seq.empty
+    val extent = math.max(math.max(maxX - minX, maxY - minY), 1e-12)
+    val scale = (1L << GridBits).toDouble / extent
+    lines.foreach { l =>
+      var i = 0
+      while (i < l.numPoints - 1) {
+        val ax = math.round((l.x(i) - minX) * scale) * 2
+        val ay = math.round((l.y(i) - minY) * scale) * 2
+        val bx = math.round((l.x(i + 1) - minX) * scale) * 2
+        val by = math.round((l.y(i + 1) - minY) * scale) * 2
+        if (ax != bx || ay != by) segs += new SegM(ax, ay, bx, by, Array(1))
+        i += 1
+      }
+    }
+    // polygonize keeps coincident duplicates as one edge
+    val noded0 = node(segs)
+    val dedup = MHashMap[(Long, Long, Long, Long), SegM]()
+    noded0.foreach { s0 =>
+      val s = canon(s0)
+      dedup.getOrElseUpdate((s.ax, s.ay, s.bx, s.by), new SegM(s.ax, s.ay, s.bx, s.by, Array(1)))
+    }
+    val g = new Graph(ArrayBuffer(dedup.values.toSeq: _*))
+    if (g.nE == 0) return Seq.empty
+    val (cid, cycs) = g.cycles(_ => true)
+    val all = new Array[Boolean](2 * g.nE)
+    java.util.Arrays.fill(all, true)
+    val back = (ix: Long, iy: Long) => (ix / 2.0 / scale + minX, iy / 2.0 / scale + minY)
+    emit(g, cycs, cid, all, back)
+  }
+}

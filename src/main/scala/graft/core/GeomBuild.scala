@@ -44,6 +44,87 @@ object GeomBuild {
     case m: GMulti => m.geoms.toSeq.flatMap(collectPoints)
   }
 
+  /** SimplifyPreserveTopology (`ogrgeometry.cpp:4737`, GEOS
+    * TopologyPreservingSimplifier semantics for a single part): remove
+    * vertices in order of increasing offset from their neighbor chord —
+    * like Douglas-Peucker — but REJECT any removal that would make the
+    * ring self-intersect or collapse below a valid ring (4 points), so
+    * a valid input always yields a valid output. Plain `simplify` (DP)
+    * gives no such guarantee: a tight S-bend under a large tolerance
+    * collapses to a bow-tie.
+    */
+  def simplifyPreserveTopology(g: Geom, tolerance: Double): Geom = g match {
+    case l: GLine if !l.isClosed => GLine(dpSimplify(l.xy, tolerance))
+    case l: GLine => GLine(ptSimplifyRing(l.xy, tolerance))
+    case p: GPolygon =>
+      GPolygon(p.rings.map(r => GLine(ptSimplifyRing(r.xy, tolerance))))
+    case m: GMulti => GMulti(m.multiKind, m.geoms.map(simplifyPreserveTopology(_, tolerance)))
+    case other => other
+  }
+
+  /** Greedy topology-safe ring simplification: repeatedly drop the vertex
+    * whose distance to its neighbor chord is smallest (and under
+    * tolerance), skipping any drop whose replacement chord would cross a
+    * remaining ring edge. O(n²) — fine for per-row geometries.
+    */
+  private def ptSimplifyRing(xyClosed: Array[Double], tol: Double): Array[Double] = {
+    val nAll = xyClosed.length / 2
+    val closed = nAll >= 2 && xyClosed(0) == xyClosed(2 * nAll - 2) &&
+      xyClosed(1) == xyClosed(2 * nAll - 1)
+    val n = if (closed) nAll - 1 else nAll
+    if (n <= 4) return xyClosed
+    val alive = scala.collection.mutable.ArrayBuffer.tabulate(n)(identity)
+    val tolSq = tol * tol
+
+    def x(i: Int) = xyClosed(2 * alive(i))
+    def y(i: Int) = xyClosed(2 * alive(i) + 1)
+
+    def segsCross(ax: Double, ay: Double, bx: Double, by: Double,
+                  cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+      def o(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double) =
+        math.signum((qx - px) * (ry - py) - (qy - py) * (rx - px))
+      val o1 = o(ax, ay, bx, by, cx, cy); val o2 = o(ax, ay, bx, by, dx, dy)
+      val o3 = o(cx, cy, dx, dy, ax, ay); val o4 = o(cx, cy, dx, dy, bx, by)
+      o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0
+    }
+
+    var removedSomething = true
+    while (removedSomething && alive.length > 4) {
+      removedSomething = false
+      // candidate with minimal chord offset under tolerance
+      var best = -1; var bestD = tolSq
+      var i = 0
+      while (i < alive.length) {
+        val p = (i - 1 + alive.length) % alive.length
+        val q = (i + 1) % alive.length
+        val d = GeomOps.segmentDistSq(x(i), y(i), x(p), y(p), x(q), y(q))
+        if (d <= bestD) {
+          // the new chord p→q must not cross any remaining edge
+          var ok = true
+          var j = 0
+          while (ok && j < alive.length) {
+            val j2 = (j + 1) % alive.length
+            if (j != i && j2 != i && j != p && j2 != q &&
+              !(j == q && j2 == p) && !(j == p && j2 == q))
+              ok = !segsCross(x(p), y(p), x(q), y(q), x(j), y(j), x(j2), y(j2))
+            j += 1
+          }
+          if (ok) { best = i; bestD = d }
+        }
+        i += 1
+      }
+      if (best >= 0) { alive.remove(best); removedSomething = true }
+    }
+    val out = new Array[Double](2 * (alive.length + (if (closed) 1 else 0)))
+    var k = 0
+    while (k < alive.length) {
+      out(2 * k) = xyClosed(2 * alive(k)); out(2 * k + 1) = xyClosed(2 * alive(k) + 1)
+      k += 1
+    }
+    if (closed) { out(2 * k) = out(0); out(2 * k + 1) = out(1) }
+    out
+  }
+
   /** Douglas-Peucker simplification with tolerance (per-part). */
   def simplify(g: Geom, tolerance: Double): Geom = g match {
     case l: GLine => GLine(dpSimplify(l.xy, tolerance))

@@ -267,10 +267,12 @@ object GeomClip {
     * convention, default 8 → 32 vertices, first vertex at angle 0 — the
     * layout behind the autotest expectation
     * `POINT(1 2).Buffer(0.5) ≈ circle (1.5 2)…(0.5 2)`). Lines and
-    * polygons offset each edge and join with vertex arcs — exact for
-    * convex rings; concave rings fall back to buffering the convex hull
-    * (documented approximation; the self-intersection cleanup a general
-    * offset needs is GEOS's snap-rounding machinery).
+    * polygons (convex OR concave, holes honored, negative distances
+    * eroding) buffer EXACTLY through the snap-rounded arrangement:
+    * union of the region with one capsule per boundary edge, offset
+    * self-intersections resolved by winding extraction
+    * ([[Arrangement.buffer]] — the same construction GEOS's offset-curve
+    * + noding pipeline performs).
     */
   def buffer(g: Geom, dist: Double, quadSegs: Int = 8): Geom = {
     val n = 4 * quadSegs
@@ -287,32 +289,14 @@ object GeomClip {
       GPolygon(Array(GLine(xy)))
     }
     g match {
-      case GPoint(x, y, _, _) => circle(x, y)
-      case p: GPolygon =>
-        val ring = {
-          val open = openRing(p)
-          val pts = (0 until open.length / 2).map(i => (open(2 * i), open(2 * i + 1)))
-          if (isConvex(pts)) pts
-          else { // convex-hull fallback
-            val hull = GeomBuild.convexHull(p).asInstanceOf[GPolygon]
-            val ho = openRing(hull)
-            (0 until ho.length / 2).map(i => (ho(2 * i), ho(2 * i + 1)))
-          }
+      case GPoint(x, y, _, _) if dist > 0 => circle(x, y)
+      case GMulti(4, gs) => GMulti(6, gs.map(buffer(_, dist, quadSegs)))
+      case other =>
+        Arrangement.buffer(other, dist, quadSegs) match {
+          case Seq() => GMulti(6, Array.empty[Geom])
+          case Seq(one) => one
+          case many => GMulti(6, many.toArray[Geom])
         }
-        offsetConvex(ring, dist, n)
-      case l: GLine =>
-        // line buffer: hull of per-vertex circles unioned (capsule chain),
-        // approximated by the convex hull for short lines
-        val pts = (0 until l.numPoints).flatMap { i =>
-          (0 until n).map { k =>
-            val a = 2 * math.Pi * k / n
-            (l.x(i) + dist * math.cos(a), l.y(i) + dist * math.sin(a))
-          }
-        }
-        GeomBuild.convexHull(GMulti(4,
-          pts.map(p => GPoint(p._1, p._2): Geom).toArray))
-      case GMulti(_, gs) => GMulti(6, gs.map(buffer(_, dist, quadSegs)))
-      case other => other
     }
   }
 
@@ -394,60 +378,4 @@ object GeomClip {
     case _ => None
   }
 
-  private def isConvex(pts: Seq[(Double, Double)]): Boolean = {
-    val m = pts.length
-    if (m < 4) return true
-    var sign = 0
-    for (i <- 0 until m) {
-      val (x0, y0) = pts(i)
-      val (x1, y1) = pts((i + 1) % m)
-      val (x2, y2) = pts((i + 2) % m)
-      val cr = (x1 - x0) * (y2 - y1) - (y1 - y0) * (x2 - x1)
-      if (cr != 0) {
-        val s = if (cr > 0) 1 else -1
-        if (sign == 0) sign = s else if (s != sign) return false
-      }
-    }
-    true
-  }
-
-  /** Offset a convex ring outward by `dist`: translated edges joined by
-    * vertex arcs (n total circle segments for full turns).
-    */
-  private def offsetConvex(pts0: Seq[(Double, Double)], dist: Double, n: Int): GPolygon = {
-    // ensure CCW
-    val area2 = pts0.indices.map { i =>
-      val (x0, y0) = pts0(i); val (x1, y1) = pts0((i + 1) % pts0.length)
-      x0 * y1 - x1 * y0
-    }.sum
-    val pts = if (area2 >= 0) pts0 else pts0.reverse
-    val m = pts.length
-    val out = Seq.newBuilder[(Double, Double)]
-    for (i <- 0 until m) {
-      val (px, py) = pts(i)
-      val (nx, ny) = pts((i + 1) % m)
-      val (qx, qy) = pts((i + m - 1) % m)
-      // outward normals of incoming and outgoing edges (CCW ring → normal
-      // is (dy, -dx) normalized)
-      def normal(ax: Double, ay: Double, bx: Double, by: Double): (Double, Double) = {
-        val dx = bx - ax; val dy = by - ay
-        val len = math.hypot(dx, dy)
-        (dy / len, -dx / len)
-      }
-      val (inx, iny) = normal(qx, qy, px, py)
-      val (onx, ony) = normal(px, py, nx, ny)
-      val a0 = math.atan2(iny, inx)
-      var a1 = math.atan2(ony, onx)
-      // a convex CCW ring turns its outward normals counterclockwise
-      while (a1 < a0) a1 += 2 * math.Pi
-      val steps = math.max(1, math.ceil((a1 - a0) / (2 * math.Pi / n)).toInt)
-      for (k <- 0 to steps) {
-        val a = a0 + (a1 - a0) * k / steps
-        out += ((px + dist * math.cos(a), py + dist * math.sin(a)))
-      }
-    }
-    val res = out.result()
-    val closed = res :+ res.head
-    GPolygon(Array(GLine(closed.flatMap(p => Seq(p._1, p._2)).toArray)))
-  }
 }

@@ -333,54 +333,14 @@ object OverlayRt {
     case many => Geom.toWkb(GMulti(6, many.toArray))
   }
 
-  def overlay(a: Array[Byte], b: Array[Byte], op: Int): Array[Byte] = {
-    val pas = polysOf(GeoRt.decode(a))
-    val pbs = polysOf(GeoRt.decode(b))
-    if (pas.isEmpty || (pbs.isEmpty && (op == 0))) return null
-    op match {
-      case 0 => // intersection: all cross pieces
-        wrap(for (pa <- pas; pb <- pbs; g <- GeomClip.intersection(pa, pb).toSeq
-                  if graft.core.GeomOps.area(g) > 0) yield g)
-      case 1 => // union: fold pairwise (results may stay multi-piece)
-        var acc: Seq[GPolygon] = pas
-        for (pb <- pbs) {
-          // merge pb into every overlapping acc member, keep the rest
-          var cur: Seq[GPolygon] = Seq(pb)
-          val keep = Seq.newBuilder[GPolygon]
-          acc.foreach { pa =>
-            val merged = GeomClip.union(pa, cur.head) match {
-              case Some(p: GPolygon) => Some(p)
-              case _ => None
-            }
-            merged match {
-              case Some(m) => cur = Seq(m)
-              case None => keep += pa
-            }
-          }
-          acc = keep.result() ++ cur
-        }
-        wrap(acc)
-      case 2 => // difference: subtract every b piece from every a piece
-        var acc: Seq[GPolygon] = pas
-        for (pb <- pbs) {
-          acc = acc.flatMap { pa =>
-            GeomClip.difference(pa, pb).toSeq.flatMap {
-              case p: GPolygon => Seq(p)
-              case GMulti(6, gs) => gs.toSeq.collect { case p: GPolygon => p }
-              case _ => Seq.empty
-            }
-          }
-        }
-        wrap(acc.filter(graft.core.GeomOps.area(_) > 0))
-      case 3 =>
-        val ab = overlay(a, b, 2)
-        val ba = overlay(b, a, 2)
-        if (ab == null) ba
-        else if (ba == null) ab
-        else wrap(polysOf(GeoRt.decode(ab)) ++ polysOf(GeoRt.decode(ba)))
-      case _ => null
-    }
-  }
+  /** Boolean overlay through the snap-rounded arrangement
+    * ([[graft.core.Arrangement.overlay2]]): exact for multi-piece inputs,
+    * inputs WITH interior rings, and results that need hole rings
+    * (crossing concave polygons) — the cases the pairwise
+    * Greiner–Hormann fold could not express.
+    */
+  def overlay(a: Array[Byte], b: Array[Byte], op: Int): Array[Byte] =
+    wrap(graft.core.Arrangement.overlay2(GeoRt.decode(a), GeoRt.decode(b), op))
 }
 
 /** st_intersection / st_union / st_difference / st_symdifference
@@ -599,4 +559,85 @@ object GeoFn {
   def geomFromText(s: UTF8String): Array[Byte] = Geom.toWkb(Geom.fromWkt(s.toString))
   def asText(b: Array[Byte]): UTF8String = UTF8String.fromString(Geom.toWkt(GeoRt.decode(b)))
   def geometryType(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoRt.geometryType(b))
+  def numGeometries(b: Array[Byte]): Int = GeoRt.decode(b) match {
+    case m: graft.core.GMulti => m.geoms.length
+    case _ => 1
+  }
+  def simplifyPT(b: Array[Byte], t: Double): Array[Byte] =
+    Geom.toWkb(graft.core.GeomBuild.simplifyPreserveTopology(GeoRt.decode(b), t))
+  def polygonize(b: Array[Byte]): Array[Byte] = {
+    val lines = scala.collection.mutable.ArrayBuffer[graft.core.GLine]()
+    def collect(g: Geom): Unit = g match {
+      case l: graft.core.GLine => lines += l
+      case p: graft.core.GPolygon => p.rings.foreach(lines += _)
+      case m: graft.core.GMulti => m.geoms.foreach(collect)
+      case _ => ()
+    }
+    collect(GeoRt.decode(b))
+    val faces = graft.core.Arrangement.polygonizeLines(lines)
+    if (faces.isEmpty) null
+    else Geom.toWkb(graft.core.GMulti(6, faces.toArray[Geom]))
+  }
+}
+
+/** st_numpoints(wkb) -> int (total vertex count, closed rings counting the
+  * closing vertex, matching OGRGeometry::getNumPoints conventions).
+  */
+case class StNumPoints(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    GeoRt.numPoints(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.GeoRt.numPoints($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_numpoints"
+}
+
+/** st_numgeometries(wkb) -> int (parts of a multi/collection, else 1). */
+case class StNumGeometries(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    GeoFn.numGeometries(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.GeoFn.numGeometries($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_numgeometries"
+}
+
+/** st_simplify_preserve_topology(wkb, tolerance) -> wkb
+  * (`ogrgeometry.cpp:4737`): like st_simplify but never produces
+  * self-intersecting or collapsed rings.
+  */
+case class StSimplifyPT(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, t: Any): Any =
+    GeoFn.simplifyPT(b.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, t) => s"graft.expr.GeoFn.simplifyPT($b, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_simplify_preserve_topology"
+}
+
+/** st_polygonize(wkb) -> wkb multipolygon of the bounded faces of the
+  * noded input linework (`ogrgeometry.cpp:4923` Polygonize / GEOS
+  * Polygonizer: dangles dropped, holes assigned). NULL when no face.
+  */
+case class StPolygonize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    GeoFn.polygonize(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""byte[] ${ev.value}Tmp = graft.expr.GeoFn.polygonize($b);
+         |if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Tmp; }""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_polygonize"
 }

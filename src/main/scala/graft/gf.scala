@@ -53,6 +53,15 @@ object gf {
   def st_force_polygon(g: Column): Column = col(StForce(x(g), toMulti = false))
   def st_force_multipolygon(g: Column): Column = col(StForce(x(g), toMulti = true))
   def st_convexhull(g: Column): Column = col(StConvexHull(x(g)))
+  def st_simplify_preserve_topology(g: Column, tol: Column): Column =
+    col(StSimplifyPT(x(g), x(tol.cast("double"))))
+  def st_polygonize(g: Column): Column = col(StPolygonize(x(g)))
+  def st_numpoints(g: Column): Column = col(StNumPoints(x(g)))
+  def st_numgeometries(g: Column): Column = col(StNumGeometries(x(g)))
+  /** Aggregate: dissolve all geometries of a group into disjoint
+    * polygons-with-holes (cascaded union).
+    */
+  def st_union_agg(g: Column): Column = graft.operators.Dissolve.st_union_agg(g)
   def st_curvetoline(wkt: Column, maxStepDeg: Column): Column =
     col(StCurveToLine(x(wkt), x(maxStepDeg.cast("double"))))
   def st_curve_contains_point(wkt: Column, px: Column, py: Column, stepDeg: Column): Column =
@@ -148,7 +157,15 @@ object gf {
     r1("st_force_polygon", es => StForce(es.head, toMulti = false))
     r1("st_force_multipolygon", es => StForce(es.head, toMulti = true))
     r1("st_simplify", es => StSimplify(es(0), d(es(1))))
+    r1("st_simplify_preserve_topology", es => StSimplifyPT(es(0), d(es(1))))
+    r1("st_polygonize", es => StPolygonize(es.head))
+    r1("st_numpoints", es => StNumPoints(es.head))
+    r1("st_numgeometries", es => StNumGeometries(es.head))
     r1("st_segmentize", es => StSegmentize(es(0), d(es(1))))
+    // aggregate (UDAF path, not FunctionRegistry)
+    spark.udf.register("st_union_agg",
+      org.apache.spark.sql.functions.udaf(new graft.operators.Dissolve.UnionAgg,
+        org.apache.spark.sql.Encoders.BINARY))
     r1("minhash_sig", es => MinHashSig(es(0), i(es(1)), i(es(2))))
     r1("simhash64", es => SimHash64(es.head))
     r1("doc_fingerprint", es => DocFingerprint(es.head))

@@ -103,9 +103,35 @@ object Smoke {
         |  st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))'),
         |  st_geomfromtext('POLYGON((2 2,6 2,6 6,2 6,2 2))')))""".stripMargin)
       .head().getDouble(0)
-    assert(math.abs(ovArea - 4.0) < 1e-9, "st_intersection SQL")
+    // snap-rounded arrangement: exact topology, coordinates quantized to
+    // ~1e-8 of the extent (GEOS fixed-precision overlay has the same)
+    assert(math.abs(ovArea - 4.0) < 1e-5, "st_intersection SQL")
     val bufA = spark.sql("select st_area(st_buffer(st_point(1, 2), 0.5))").head().getDouble(0)
     assert(bufA > 0.77 && bufA < 0.786, s"st_buffer circle area $bufA")
+
+    // round-3 surface: dissolve aggregate, polygonize, topology-preserving
+    // simplify, numpoints/numgeometries, general CRS transform
+    val dissA = spark.sql(
+      """select st_area(st_union_agg(g)) from (
+        |  select st_geomfromtext('POLYGON((0 0,2 0,2 2,0 2,0 0))') as g
+        |  union all
+        |  select st_geomfromtext('POLYGON((1 0,3 0,3 2,1 2,1 0))'))""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(dissA - 6.0) < 1e-5, s"st_union_agg SQL $dissA")
+    val polyN = spark.sql(
+      """select st_numgeometries(st_polygonize(st_geomfromtext(
+        |  'MULTILINESTRING((0 0,2 0,2 2,0 2,0 0),(2 0,4 0,4 2,2 2))')))""".stripMargin)
+      .head().getInt(0)
+    assert(polyN == 2, s"st_polygonize SQL faces $polyN")
+    val ptN = spark.sql(
+      """select st_numpoints(st_simplify_preserve_topology(st_geomfromtext(
+        |  'POLYGON((0 0,2 0.01,4 0,4 4,0 4,0 0))'), 0.1))""".stripMargin)
+      .head().getInt(0)
+    assert(ptN == 5, s"st_simplify_preserve_topology SQL $ptN")
+    val utmX = spark.sql(
+      "select st_x(st_transform(st_point(3.0, 0.0), 4326, 32631))")
+      .head().getDouble(0)
+    assert(math.abs(utmX - 500000.0) < 1e-6, s"st_transform UTM SQL $utmX")
     val curveIn = spark.sql(
       "select st_curve_contains_point('CURVEPOLYGON (CIRCULARSTRING (0 0,2 0,0 0))', 1.5, 0.0, 45.0)")
       .head().getBoolean(0)
