@@ -729,6 +729,30 @@ object SparkEntry {
         r(gf.st_x(g)).as("x_r"), r(gf.st_y(g)).as("y_r"))
     }),
 
+    "q_warp_utm" -> ((s, d) => {
+      import s.implicits._
+      // reprojection through the general CRS engine: 20×20 closed-form
+      // 4326 grid (lon 3..8, lat 45..50) pulled into a 14×20 EPSG:32631
+      // grid (25 km pixels) with the nearest kernel. Oracle = pinned
+      // values from the INDEPENDENT Python tmerc port's warp
+      // (tools/gen_proj_oracle.py --warp; floor margins > 1e-6 asserted)
+      val sw = 20; val sh = 20
+      val vals = Array.tabulate(sw * sh)(i => ((i % sw) * 31 + (i / sw) * 17) % 23 * 1.0)
+      val srcGt = graft.core.GeoTransform.northUp(3.0, 50.0, 0.25, 0.25)
+      val dstGt = graft.core.GeoTransform.northUp(500000.0, 5530000.0, 25000.0, 25000.0)
+      val strips = (0 until sh by 5).zipWithIndex.map { case (y0, idx) =>
+        graft.raster.Dem.DStrip(idx, y0, 5,
+          java.util.Arrays.copyOfRange(vals, y0 * sw, (y0 + 5) * sw))
+      }.toDS()
+      graft.raster.Warp.warp(s, strips, sw, sh, srcGt,
+          graft.raster.Warp.DstSpec(14, 20, dstGt, stripHeight = 6),
+          tx = graft.raster.Warp.epsgTx(32631, 4326),
+          kernel = graft.raster.Warp.Nearest, noData = -1.0)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until 14)
+            yield (x, st.yOff + y, st.vals(y * 14 + x))
+        }.toDF("x", "y", "v")
+    }),
     "q_dissolve" -> ((s, d) => {
       import s.implicits._
       // cascaded union (st_union_agg aggregate over the arrangement):
@@ -1489,6 +1513,15 @@ object SparkEntry {
         |  (CAST(18 AS BIGINT), CAST(2154 AS INTEGER), CAST(852037.9367 AS DOUBLE), CAST(6870250.2248 AS DOUBLE)),
         |  (CAST(19 AS BIGINT), CAST(4326 AS INTEGER), CAST(-0.12835398 AS DOUBLE), CAST(51.50399083 AS DOUBLE)))
         |AS t(pid, epsg, x_r, y_r)""".stripMargin,
+    "q_warp_utm" -> {
+      // pinned from tools/gen_proj_oracle.py --warp (independent
+      // PROJ.4-style tmerc inverse; row-major dx-fastest)
+      val vs = "0,16,1,9,2,10,3,11,19,12,20,22,15,0,17,10,18,3,19,4,12,5,13,6,14,22,15,17,11,4,12,20,13,21,6,22,7,0,8,16,9,17,5,21,6,14,7,15,0,16,1,17,2,10,3,11,22,15,0,8,1,9,17,10,18,3,19,4,20,5,16,9,17,2,18,3,11,4,12,20,13,21,6,22,10,3,11,19,12,20,5,21,6,14,7,15,0,16,4,20,5,13,6,14,22,15,0,8,1,9,17,10,4,20,5,13,6,8,16,9,17,2,18,3,11,4,21,14,22,7,0,8,16,9,17,19,12,20,5,13,15,0,16,1,9,2,10,18,11,19,4,14,22,7,9,17,10,18,3,19,4,12,5,13,21,14,22,1,3,11,4,12,20,13,21,6,22,7,15,8,16,1,20,5,21,6,14,7,15,0,16,1,9,2,10,18,14,22,15,0,8,1,9,17,10,18,3,19,4,12,8,16,9,17,2,18,3,11,4,12,20,5,21,6,2,10,3,11,19,12,20,5,21,6,14,22,15,0,19,4,20,5,13,6,14,22,7,0,8,16,9,17,19,4,20,5,13,0,8,16,1,17,2,10,3,11,13,21,14,22,7,0,8,16,1,11,19,4,12,5"
+      s"""WITH v(i, val) AS (
+        |  SELECT unnest(range(280)), unnest([$vs]))
+        |SELECT CAST(i % 14 AS INTEGER) AS x, CAST(i // 14 AS INTEGER) AS y,
+        |       CAST(val AS DOUBLE) AS v FROM v""".stripMargin
+    },
     "q_dissolve" ->
       // closed-form dissolve: chain width (k−1)+1.4 = 2.4 + g%3 times
       // height 1+0.5g; group 5 = two disjoint unit squares

@@ -390,8 +390,42 @@ def rows():
     return out
 
 
+def warp_rows():
+    """Independent nearest-neighbor warp of a closed-form 20x20 4326 grid
+    (lon 3..8, lat 45..50, 0.25 deg pixels, v=(x*31+y*17)%23) to a 14x20
+    EPSG:32631 grid (origin 500000/5530000, 25 km pixels), using the
+    PROJ.4-style tmerc inverse. Mirrors the engine's pull mapping:
+    dst pixel center -> geo -> src affine inverse -> floor."""
+    sw = sh = 20
+    tm = CRS[32631][1]
+    out = []
+    for dy in range(20):
+        for dx in range(14):
+            e = 500000.0 + (dx + 0.5) * 25000.0
+            n = 5530000.0 - (dy + 0.5) * 25000.0
+            lon, lat = tm.inv(e, n)
+            lon, lat = math.degrees(lon), math.degrees(lat)
+            px = (lon - 3.0) / 0.25
+            py = (50.0 - lat) / 0.25
+            # guard: stay far from integer boundaries so double noise
+            # between the two tmerc ports cannot flip the floor
+            for v in (px, py):
+                frac = v - math.floor(v)
+                assert min(frac, 1 - frac) > 1e-6, (dx, dy, v)
+            ix, iy = math.floor(px), math.floor(py)
+            v = float((ix * 31 + iy * 17) % 23) if 0 <= ix < sw and 0 <= iy < sh else -1.0
+            out.append((dx, dy, v))
+    return out
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "--tsv"
+    if mode == "--warp":
+        ws = warp_rows()
+        print("SELECT * FROM (VALUES")
+        print(",\n".join(f"  ({x}, {y}, CAST({v} AS DOUBLE))" for x, y, v in ws))
+        print(") AS t(x, y, v)")
+        sys.exit(0)
     rs = rows()
     if mode == "--tsv":
         for pid, dst, x, y in rs:
