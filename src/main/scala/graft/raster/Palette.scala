@@ -288,6 +288,58 @@ object Palette {
     }
   }
 
+  /** Executor-chained exact dither: removes the driver pixel-bandwidth
+    * ceiling of [[ditherStripsStreamed]]. Strips are cached one-per-
+    * partition; for each strip IN ORDER the driver launches a single-
+    * partition job that dithers the strip ON ITS EXECUTOR, hands the
+    * dithered pixels to `sink` executor-side (write a tile, append to a
+    * part file…), and returns ONLY the O(width) carried error line to
+    * the driver, which threads it into the next strip's job. The scan
+    * stays a strict serial recurrence (as in the reference's
+    * GDALDitherRGB2PCT single pass) but pixel data never crosses the
+    * driver, so throughput is bounded by one executor core + sink, not
+    * by driver ingress. Bit-identical to [[ditherStripsStreamed]]
+    * (same ditherChunk, same order — asserted in PaletteSpec).
+    */
+  def ditherStripsChained(strips: org.apache.spark.sql.Dataset[RGBStrip],
+                          pct: Array[Color],
+                          sink: (Int, Int, Array[Int]) => Unit): Unit = {
+    val spark = strips.sparkSession
+    val sc = spark.sparkContext
+    val colorMapB = sc.broadcast(buildColorMap(pct))
+    val pctB = sc.broadcast(pct)
+    val n = strips.count().toInt
+    if (n == 0) return
+    // place strip i alone in partition i so each chained job touches one
+    // executor-resident partition
+    val byIdx = strips.rdd.map(s => (s.stripIdx, s))
+      .partitionBy(new org.apache.spark.HashPartitioner(n) {
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int] % n
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    byIdx.count() // materialize once before the serial chain
+    var err: Array[Int] = null
+    var i = 0
+    while (i < n) {
+      val errIn = err
+      val res = sc.runJob(byIdx, (it: Iterator[(Int, RGBStrip)]) => {
+        var out: Array[Int] = null
+        it.foreach { case (_, s) =>
+          val w = s.r.length / s.height
+          val e = if (errIn == null) new Array[Int]((w + 2) * 3) else errIn.clone()
+          val px = ditherChunk(s.r, s.g, s.b, w, s.height, pctB.value,
+            colorMapB.value, e)
+          sink(s.stripIdx, s.yOff, px)
+          out = e
+        }
+        out
+      }, Seq(i))
+      err = res(0)
+      i += 1
+    }
+    byIdx.unpersist(false)
+  }
+
   private def asScalaHelper[T](it: java.util.Iterator[T]): Iterator[T] =
     new Iterator[T] {
       override def hasNext: Boolean = it.hasNext

@@ -354,37 +354,47 @@ object Sieve {
       .select(col("p"), col("b.q").as("q"), col("b.qsize").as("qsize"),
         col("b.qvalue").as("qvalue"))
 
-    // E: driver chain-walk over small polygons only (the rewrite map must
-    // ship to executors anyway, so this is its natural size)
-    val smallRows = sizesDF.filter(col("gsize") < threshold)
+    // E: distributed pointer-doubling over the small-polygon pointer graph
+    // (gid → biggest small neighbor, or resolved value when the biggest
+    // neighbor is large). Each round composes the pointer function with
+    // itself, so chains of length L resolve in O(log L) rounds; pure-small
+    // cycles never resolve (active count stops shrinking → break), which
+    // matches the serial walk's visited-set stop. Only the FINAL
+    // (gid → replacement value) map — O(resolved small polygons), which
+    // must broadcast to executors anyway — ever reaches the driver;
+    // the former O(small)·chain walk is gone.
+    val smallPtr0 = sizesDF.filter(col("gsize") < threshold)
       .join(bigDF, col("gid") === col("p"), "left")
       .select(col("gid"), col("gvalue"),
-        coalesce(col("q"), lit(-1L)).as("q"),
-        coalesce(col("qsize"), lit(0)).as("qsize"),
-        coalesce(col("qvalue"), lit(0)).as("qvalue"))
-      .as[(Long, Int, Long, Int, Int)].collect()
-    // gid -> (value, bigPtr, bigIsLarge, bigValue); bigPtr -1 = none
-    val smallMap = smallRows.iterator
-      .map(r => r._1 -> ((r._2, r._3, r._4 >= threshold, r._5))).toMap
-    val rewrite = new scala.collection.mutable.HashMap[Long, Int]
-    smallRows.sortBy(_._1).foreach { case (gid, gvalue, _, _, _) =>
-      if (gvalue != Polygonize.NoDataMarker) {
-        val visited = scala.collection.mutable.Set(gid)
-        var cur = gid
-        var done = false
-        while (!done) {
-          smallMap.get(cur) match {
-            case None => done = true // walked onto a big polygon? (can't: guarded below)
-            case Some((_, next, nextIsBig, nextValue)) =>
-              if (next < 0) done = true
-              else if (nextIsBig) { rewrite(gid) = nextValue; done = true }
-              else if (visited.contains(next)) done = true
-              else { visited += next; cur = next }
-          }
-        }
-      }
+        when(col("q").isNotNull && col("qsize") < threshold, col("q"))
+          .otherwise(lit(null).cast("long")).as("next"),
+        when(col("q").isNotNull && col("qsize") >= threshold, col("qvalue"))
+          .otherwise(lit(null).cast("int")).as("res"))
+    var f = smallPtr0.localCheckpoint(eager = true)
+    var active = f.filter(col("next").isNotNull && col("res").isNull).count()
+    var prevActive = Long.MaxValue
+    var ptrIter = 0
+    while (active > 0 && active < prevActive && ptrIter < 48) {
+      prevActive = active
+      val b = f.select(col("gid").as("b_gid"), col("next").as("b_next"),
+        col("res").as("b_res"))
+      val nf = f.join(b, f("next") === col("b_gid"), "left")
+        .select(f("gid"), f("gvalue"),
+          when(f("res").isNotNull, lit(null).cast("long"))
+            .otherwise(col("b_next")).as("next"),
+          coalesce(f("res"), col("b_res")).as("res"))
+        .localCheckpoint(eager = true)
+      f.unpersist()
+      f = nf
+      active = f.filter(col("next").isNotNull && col("res").isNull).count()
+      ptrIter += 1
     }
-    val rewriteB = spark.sparkContext.broadcast(rewrite.toMap)
+    val rewrite = f
+      .filter(col("res").isNotNull && col("gvalue") =!= Polygonize.NoDataMarker)
+      .select(col("gid"), col("res"))
+      .as[(Long, Int)].collect().toMap
+    f.unpersist()
+    val rewriteB = spark.sparkContext.broadcast(rewrite)
 
     // E: per-strip rewrite
     strips.map { s =>

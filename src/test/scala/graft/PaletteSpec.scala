@@ -45,6 +45,26 @@ class PaletteSpec extends AnyFunSuite {
         .toSeq.sortBy(_._2).flatMap(_._3).toArray
       assert(Checksum.finish(Checksum.partialInt(idx, 0, idx.length, 0L)) === 8803,
         s"stripH=$stripH dither checksum")
+
+      // executor-chained variant: pixels go to an executor-side sink,
+      // only error lines cross the driver — must be bit-identical.
+      // (The sink closure is task-serialized even in local mode, so the
+      // spec collects through a JVM-static holder.)
+      DitherSinkHolder.map.clear()
+      Palette.ditherStripsChained(strips, ct,
+        (sIdx, yOff, px) => { DitherSinkHolder.map.put(sIdx, (yOff, px)); () })
+      import scala.jdk.CollectionConverters._
+      val chained = DitherSinkHolder.map.asScala.toSeq
+        .sortBy(_._2._1).flatMap(_._2._2).toArray
+      assert(java.util.Arrays.equals(chained, idx),
+        s"stripH=$stripH chained dither differs from streamed")
     }
   }
+}
+
+/** JVM-static collection point for the executor-side dither sink (local
+  * mode shares the JVM, so tasks and the spec see the same map).
+  */
+object DitherSinkHolder {
+  val map = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Array[Int])]()
 }
