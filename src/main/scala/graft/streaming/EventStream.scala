@@ -34,6 +34,38 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("event_type"), col("window.start").as("hour"), col("n"), col("sum_value"))
 
+  /** End-to-end file job: parquet event files appearing under `inDir` →
+    * watermarked hourly aggregation → append-mode parquet under `outDir`,
+    * exactly-once across kill/restart via `checkpointDir` (file-source
+    * offsets + state store + sink commit log all live there — restart
+    * with the same three paths resumes mid-stream, the per-partition
+    * lineage story of the north rule applied to streams).
+    */
+  def hourlyCountsFileJob(spark: org.apache.spark.sql.SparkSession,
+                          inDir: String, outDir: String,
+                          checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val in = spark.readStream.schema(schema).parquet(inDir)
+    hourlyCounts(in)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Gap-based sessionization (30-min inactivity closes a session).
     * Emits a session row when the gap timeout fires.
     */

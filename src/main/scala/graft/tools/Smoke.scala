@@ -132,6 +132,32 @@ object Smoke {
       "select st_x(st_transform(st_point(3.0, 0.0), 4326, 32631))")
       .head().getDouble(0)
     assert(math.abs(utmX - 500000.0) < 1e-6, s"st_transform UTM SQL $utmX")
+
+    // streaming file job surface: source → watermarked agg → parquet sink
+    // with checkpoint; one closed window must land in the sink
+    locally {
+      val base = java.nio.file.Files.createTempDirectory("graft-smoke-stream").toString
+      val inDir = s"$base/in"; new java.io.File(inDir).mkdirs()
+      def ts(h: Long, m: Long) = new java.sql.Timestamp(1700000000000L / 3600000L * 3600000L + h * 3600000L + m * 60000L)
+      def batch(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+        val stage = s"$base/stage-$name"
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles().find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+      }
+      batch("b1", Seq((1L, ts(0, 10), 1L, "a", 1.0)))
+      val q = graft.streaming.EventStream.hourlyCountsFileJob(
+        spark, inDir, s"$base/out", s"$base/ck")
+      q.processAllAvailable()
+      batch("b2", Seq((2L, ts(4, 0), 2L, "a", 2.0))) // watermark push
+      q.processAllAvailable()
+      batch("b3", Seq((3L, ts(5, 0), 2L, "a", 3.0))) // flush trigger
+      q.processAllAvailable()
+      q.stop()
+      val n = spark.read.parquet(s"$base/out").count()
+      assert(n >= 1, s"streaming file job emitted $n windows")
+    }
     val curveIn = spark.sql(
       "select st_curve_contains_point('CURVEPOLYGON (CIRCULARSTRING (0 0,2 0,0 0))', 1.5, 0.0, 45.0)")
       .head().getBoolean(0)

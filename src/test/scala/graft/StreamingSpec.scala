@@ -63,4 +63,73 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains((2L, 1L, 0L)), s"got $rows")
     } finally q.stop()
   }
+
+  test("file job: kill + checkpoint restart is exactly-once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    new java.io.File(inDir).mkdirs()
+
+    def hourTs(h: Long, min: Long = 0L) =
+      new Timestamp(1700000000000L / 3600000L * 3600000L + h * 3600000L + min * 60000L)
+    def writeBatch(name: String, evs: Seq[Event]): Unit = {
+      // the file stream source lists top-level files only: stage the
+      // batch, then move its part file to $inDir/$name.parquet
+      val stage = s"$base/stage-$name"
+      evs.toDS().toDF().coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+
+    // batch 1a: window H0 data; 1b: H3/H4 events push the watermark so H0
+    // (and H1) finalize BEFORE the kill
+    val b1a = Seq(Event(1, hourTs(0, 10), 1, "a", 1.0), Event(2, hourTs(0, 20), 2, "a", 2.0),
+      Event(3, hourTs(1, 5), 1, "b", 3.0))
+    val b1b = Seq(Event(4, hourTs(3, 30), 3, "a", 4.0), Event(5, hourTs(4, 30), 3, "b", 5.0))
+
+    writeBatch("b1a", b1a)
+    val q1 = EventStream.hourlyCountsFileJob(spark, inDir, outDir, ckDir)
+    q1.processAllAvailable()
+    writeBatch("b1b", b1b)
+    q1.processAllAvailable() // watermark advances to H2:30 AFTER this batch
+    // a window only flushes in the batch AFTER the watermark passes its
+    // end — b1c triggers that flush so H0/H1 finalize before the kill
+    val b1c = Seq(Event(9, hourTs(4, 45), 3, "b", 9.0))
+    writeBatch("b1c", b1c)
+    q1.processAllAvailable()
+    q1.stop() // the "kill"
+
+    val preKill = spark.read.parquet(outDir).count()
+
+    // while down: more data lands (H8), plus a final H10 batch after
+    // restart to advance the watermark and flush H2..H4
+    writeBatch("b2", Seq(Event(6, hourTs(8, 15), 4, "a", 6.0)))
+    val q2 = EventStream.hourlyCountsFileJob(spark, inDir, outDir, ckDir)
+    q2.processAllAvailable()
+    writeBatch("b3", Seq(Event(7, hourTs(10, 0), 5, "c", 7.0)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select($"event_type", $"hour", $"n", $"sum_value")
+      .as[(String, Timestamp, Long, Double)].collect().toSeq.sorted
+
+    // batch twin restricted to finalized windows: the LAST executed
+    // micro-batch (b3) ran with watermark H8:15 − 2h = H6:15, so exactly
+    // the windows ending ≤ H6:15 (hours 0..5) have been emitted — the
+    // H10 data advances the watermark only after that batch
+    val allEvents = b1a ++ b1b ++ b1c ++ Seq(Event(6, hourTs(8, 15), 4, "a", 6.0))
+    val expected = allEvents.filter(_.ts.getTime < hourTs(6).getTime)
+      .groupBy(e => (e.event_type, e.ts.getTime / 3600000L * 3600000L))
+      .map { case ((t, h), es) =>
+        (t, new Timestamp(h), es.size.toLong, es.map(_.value).sum) }
+      .toSeq.sorted
+
+    assert(out === expected, s"restarted stream output:\n$out\nvs expected:\n$expected")
+    // exactly-once: the pre-kill emission was not duplicated by the restart
+    assert(preKill > 0, "some window must finalize before the kill")
+    assert(out.size === expected.size)
+  }
 }
