@@ -753,6 +753,27 @@ object SparkEntry {
             yield (x, st.yOff + y, st.vals(y * 14 + x))
         }.toDF("x", "y", "v")
     }),
+    "q_geojson" -> ((s, d) => {
+      import s.implicits._
+      // GeoJSON + GML codecs: literal writer output for fixed geometries
+      // and closed-form areas after parsing foreign-produced documents
+      Seq(
+        ("pt_json", "POINT(1.5 2)"),
+        ("poly_json", "POLYGON((0 0,2 0,2 2,0 2,0 0))"),
+        ("pt_gml", "POINT(1.5 2)"))
+        .toDF("name", "wkt")
+        .select(col("name"),
+          when(col("name").endsWith("_gml"),
+            gf.st_asgml(gf.st_geomfromtext(col("wkt"))))
+            .otherwise(gf.st_asgeojson(gf.st_geomfromtext(col("wkt"))))
+            .as("doc"),
+          round(gf.st_area(gf.st_geomfromgeojson(lit(
+            """{"type":"Polygon","coordinates":[[[0,0],[6,0],[6,6],[0,6],[0,0]],[[2,2],[4,2],[4,4],[2,4],[2,2]]]}"""))), 6)
+            .as("json_area"),
+          round(gf.st_area(gf.st_geomfromgml(lit(
+            "<gml:Polygon><gml:exterior><gml:LinearRing><gml:posList>0 0 4 0 4 4 0 4 0 0</gml:posList></gml:LinearRing></gml:exterior></gml:Polygon>"))), 6)
+            .as("gml_area"))
+    }),
     "q_dissolve" -> ((s, d) => {
       import s.implicits._
       // cascaded union (st_union_agg aggregate over the arrangement):
@@ -1522,6 +1543,15 @@ object SparkEntry {
         |SELECT CAST(i % 14 AS INTEGER) AS x, CAST(i // 14 AS INTEGER) AS y,
         |       CAST(val AS DOUBLE) AS v FROM v""".stripMargin
     },
+    "q_geojson" ->
+      """SELECT * FROM (VALUES
+        |  ('pt_json', '{"type":"Point","coordinates":[1.5,2.0]}',
+        |   CAST(32.0 AS DOUBLE), CAST(16.0 AS DOUBLE)),
+        |  ('poly_json', '{"type":"Polygon","coordinates":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,2.0],[0.0,0.0]]]}',
+        |   CAST(32.0 AS DOUBLE), CAST(16.0 AS DOUBLE)),
+        |  ('pt_gml', '<gml:Point><gml:coordinates>1.5,2</gml:coordinates></gml:Point>',
+        |   CAST(32.0 AS DOUBLE), CAST(16.0 AS DOUBLE)))
+        |AS t(name, doc, json_area, gml_area)""".stripMargin,
     "q_dissolve" ->
       // closed-form dissolve: chain width (k−1)+1.4 = 2.4 + g%3 times
       // height 1+0.5g; group 5 = two disjoint unit squares

@@ -559,6 +559,14 @@ object GeoFn {
   def geomFromText(s: UTF8String): Array[Byte] = Geom.toWkb(Geom.fromWkt(s.toString))
   def asText(b: Array[Byte]): UTF8String = UTF8String.fromString(Geom.toWkt(GeoRt.decode(b)))
   def geometryType(b: Array[Byte]): UTF8String = UTF8String.fromString(GeoRt.geometryType(b))
+  def asGeoJson(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.core.GeoJson.toJson(GeoRt.decode(b)))
+  def geomFromGeoJson(s: UTF8String): Array[Byte] =
+    Geom.toWkb(graft.core.GeoJson.fromJson(s.toString))
+  def asGml(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.core.Gml.toGml(GeoRt.decode(b)))
+  def geomFromGml(s: UTF8String): Array[Byte] =
+    Geom.toWkb(graft.core.Gml.fromGml(s.toString))
   def numGeometries(b: Array[Byte]): Int = GeoRt.decode(b) match {
     case m: graft.core.GMulti => m.geoms.length
     case _ => 1
@@ -578,6 +586,54 @@ object GeoFn {
     if (faces.isEmpty) null
     else Geom.toWkb(graft.core.GMulti(6, faces.toArray[Geom]))
   }
+}
+
+/** st_asgeojson(wkb) -> RFC 7946 geometry JSON (compact). */
+case class StAsGeoJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    GeoFn.asGeoJson(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.GeoFn.asGeoJson($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_asgeojson"
+}
+
+/** st_geomfromgeojson(json) -> wkb. */
+case class StGeomFromGeoJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    GeoFn.geomFromGeoJson(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.GeoFn.geomFromGeoJson($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromgeojson"
+}
+
+/** st_asgml(wkb) -> GML2 fragment (gml:coordinates). */
+case class StAsGml(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    GeoFn.asGml(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.GeoFn.asGml($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_asgml"
+}
+
+/** st_geomfromgml(gml) -> wkb (accepts GML2 coordinates and GML3 posList). */
+case class StGeomFromGml(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    GeoFn.geomFromGml(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.GeoFn.geomFromGml($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_geomfromgml"
 }
 
 /** st_numpoints(wkb) -> int (total vertex count, closed rings counting the

@@ -57,6 +57,10 @@ object gf {
     col(StSimplifyPT(x(g), x(tol.cast("double"))))
   def st_polygonize(g: Column): Column = col(StPolygonize(x(g)))
   def st_numpoints(g: Column): Column = col(StNumPoints(x(g)))
+  def st_asgeojson(g: Column): Column = col(StAsGeoJson(x(g)))
+  def st_geomfromgeojson(j: Column): Column = col(StGeomFromGeoJson(x(j)))
+  def st_asgml(g: Column): Column = col(StAsGml(x(g)))
+  def st_geomfromgml(j: Column): Column = col(StGeomFromGml(x(j)))
   def st_numgeometries(g: Column): Column = col(StNumGeometries(x(g)))
   /** Aggregate: dissolve all geometries of a group into disjoint
     * polygons-with-holes (cascaded union).
@@ -160,6 +164,10 @@ object gf {
     r1("st_simplify_preserve_topology", es => StSimplifyPT(es(0), d(es(1))))
     r1("st_polygonize", es => StPolygonize(es.head))
     r1("st_numpoints", es => StNumPoints(es.head))
+    r1("st_asgeojson", es => StAsGeoJson(es.head))
+    r1("st_geomfromgeojson", es => StGeomFromGeoJson(es.head))
+    r1("st_asgml", es => StAsGml(es.head))
+    r1("st_geomfromgml", es => StGeomFromGml(es.head))
     r1("st_numgeometries", es => StNumGeometries(es.head))
     r1("st_segmentize", es => StSegmentize(es(0), d(es(1))))
     // aggregate (UDAF path, not FunctionRegistry)

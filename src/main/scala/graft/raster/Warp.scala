@@ -102,6 +102,49 @@ object Warp {
     (srcInv.geoX(sx, sy), srcInv.geoY(sx, sy))
   }
 
+  /** GDALApproxTransformer analog (`gdal/alg/gdaltransformer.cpp`
+    * GDALApproxTransform, gdalwarp's `-et`, default 0.125 src px): per
+    * output scanline the exact dst→src transform is evaluated at segment
+    * endpoints and the midpoint; if linear interpolation agrees with the
+    * exact midpoint within `tol` source pixels the whole segment is
+    * filled by interpolation, else it subdivides. Exact projective
+    * transforms are trig-series per pixel (TMerc/LCC/stereo); the approx
+    * path cuts that to O(log w) exact evaluations per smooth row.
+    */
+  private[graft] def approxRow(w: Int, dy: Int, dstGt: GeoTransform, tx: GeoTx,
+                                srcInv: GeoTransform, tol: Double)
+      : (Array[Double], Array[Double]) = {
+    val sx = new Array[Double](w); val sy = new Array[Double](w)
+    @inline def exact(c: Int): (Double, Double) =
+      srcCornerOf(c + 0.5, dy + 0.5, dstGt, tx, srcInv)
+    def fill(c0: Int, c1: Int, p0: (Double, Double), p1: (Double, Double)): Unit = {
+      sx(c0) = p0._1; sy(c0) = p0._2
+      sx(c1) = p1._1; sy(c1) = p1._2
+      if (c1 - c0 <= 1) return
+      val cm = (c0 + c1) / 2
+      val pm = exact(cm)
+      val t = (cm - c0).toDouble / (c1 - c0)
+      val lx = p0._1 + t * (p1._1 - p0._1)
+      val ly = p0._2 + t * (p1._2 - p0._2)
+      if (math.abs(lx - pm._1) <= tol && math.abs(ly - pm._2) <= tol) {
+        var c = c0 + 1
+        while (c < c1) {
+          val tt = (c - c0).toDouble / (c1 - c0)
+          sx(c) = p0._1 + tt * (p1._1 - p0._1)
+          sy(c) = p0._2 + tt * (p1._2 - p0._2)
+          c += 1
+        }
+        sx(cm) = pm._1; sy(cm) = pm._2 // the measured midpoint is free
+      } else {
+        fill(c0, cm, p0, pm)
+        fill(cm, c1, pm, p1)
+      }
+    }
+    if (w == 1) { val p = exact(0); sx(0) = p._1; sy(0) = p._2 }
+    else fill(0, w - 1, exact(0), exact(w - 1))
+    (sx, sy)
+  }
+
   /** Per-dst-pixel dispatch shared by the distributed and local paths. */
   @inline private def samplePixel(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
                                   c: Int, gy: Int, dstGt: GeoTransform, tx: GeoTx,
@@ -365,9 +408,17 @@ object Warp {
   final case class DstSpec(width: Int, height: Int, gt: GeoTransform, stripHeight: Int = 256)
 
   /** Warp src strips into the dst grid. */
+  /** @param approxTol > 0 enables the approximate transformer for
+    *        center-sampling kernels (Nearest/Bilinear/Cubic/CubicSpline/
+    *        Lanczos): scanline coords linearly interpolated wherever the
+    *        exact transform is locally linear within `approxTol` SOURCE
+    *        pixels (gdalwarp `-et`; its default is 0.125). Rect kernels
+    *        (Average/Mode/Min/…) always transform exactly.
+    */
   def warp(spark: SparkSession, src: Dataset[DStrip], srcW: Int, srcH: Int,
            srcGt: GeoTransform, dst: DstSpec, tx: GeoTx = identityTx,
-           kernel: Kernel = Nearest, noData: Double = 0.0): Dataset[DStrip] = {
+           kernel: Kernel = Nearest, noData: Double = 0.0,
+           approxTol: Double = 0.0): Dataset[DStrip] = {
     import spark.implicits._
     val srcInv = srcGt.inverse.getOrElse(sys.error("non-invertible src geotransform"))
     val nDst = (dst.height + dst.stripHeight - 1) / dst.stripHeight
@@ -425,17 +476,28 @@ object Warp {
     val dstW = dst.width; val dstH = dst.height; val stripH = dst.stripHeight
     val dstGt = dst.gt; val k = kernel; val nd = noData
     val (xs, ys) = filterScales(dst, tx, srcInv)
+    val aTol = approxTol
     rows.union(sentinels).groupByKey(_._1).mapGroups { (st, it) =>
       val srcRows: Map[Int, Array[Double]] = it.filter(_._2 >= 0).map(t => t._2 -> t._3).toMap
       val y0 = st * stripH
       val hh = math.min(stripH, dstH - y0)
       val out = new Array[Double](hh * dstW)
+      val useApprox = aTol > 0 && !k.isInstanceOf[RectKernel]
       var r = 0
       while (r < hh) {
-        var c = 0
-        while (c < dstW) {
-          out(r * dstW + c) = samplePixel(srcRows, srcW, srcH, c, y0 + r, dstGt, tx, srcInv, k, nd, xs, ys)
-          c += 1
+        if (useApprox) {
+          val (axs, ays) = approxRow(dstW, y0 + r, dstGt, tx, srcInv, aTol)
+          var c = 0
+          while (c < dstW) {
+            out(r * dstW + c) = sample(srcRows, srcW, srcH, axs(c), ays(c), k, nd, xs, ys)
+            c += 1
+          }
+        } else {
+          var c = 0
+          while (c < dstW) {
+            out(r * dstW + c) = samplePixel(srcRows, srcW, srcH, c, y0 + r, dstGt, tx, srcInv, k, nd, xs, ys)
+            c += 1
+          }
         }
         r += 1
       }

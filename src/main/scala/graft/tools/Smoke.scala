@@ -133,6 +133,19 @@ object Smoke {
       .head().getDouble(0)
     assert(math.abs(utmX - 500000.0) < 1e-6, s"st_transform UTM SQL $utmX")
 
+    // geojson/gml codec surface
+    val gj = spark.sql(
+      "select st_asgeojson(st_geomfromtext('POINT(1.5 2)'))").head().getString(0)
+    assert(gj == """{"type":"Point","coordinates":[1.5,2.0]}""", s"geojson $gj")
+    val gjArea = spark.sql(
+      """select st_area(st_geomfromgeojson('{"type":"Polygon","coordinates":[[[0,0],[3,0],[3,3],[0,3],[0,0]]]}'))""")
+      .head().getDouble(0)
+    assert(math.abs(gjArea - 9.0) < 1e-12, s"geojson parse area $gjArea")
+    val gmlArea = spark.sql(
+      "select st_area(st_geomfromgml(st_asgml(st_geomfromtext('POLYGON((0 0,2 0,2 2,0 2,0 0))'))))")
+      .head().getDouble(0)
+    assert(math.abs(gmlArea - 4.0) < 1e-12, s"gml roundtrip area $gmlArea")
+
     // streaming file job surface: source → watermarked agg → parquet sink
     // with checkpoint; one closed window must land in the sink
     locally {
