@@ -616,7 +616,7 @@ object Arrangement {
         bld.addPolygonOriented(p, 0)
         p.rings.foreach(r => addEdges(r.xy, closed = true))
       case l: GLine => addEdges(l.xy, closed = l.isClosed)
-      case GPoint(x, y, _, _) =>
+      case p: GPoint => val x = p.x; val y = p.y;
         // a zero-length "edge": emit the full circle fan
         val pts = new Array[Double](2 * n)
         var k = 0

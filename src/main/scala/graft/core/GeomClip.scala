@@ -289,7 +289,7 @@ object GeomClip {
       GPolygon(Array(GLine(xy)))
     }
     g match {
-      case GPoint(x, y, _, _) if dist > 0 => circle(x, y)
+      case p: GPoint if dist > 0 => circle(p.x, p.y)
       case GMulti(4, gs) => GMulti(6, gs.map(buffer(_, dist, quadSegs)))
       case other =>
         Arrangement.buffer(other, dist, quadSegs) match {
@@ -324,7 +324,7 @@ object GeomClip {
   def delaunayTriangulation(g: Geom): Option[Geom] = {
     val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     def collect(gg: Geom): Unit = gg match {
-      case GPoint(x, y, _, _) => pts += ((x, y))
+      case p: GPoint => pts += ((p.x, p.y))
       case l: GLine => (0 until l.numPoints).foreach(i => pts += ((l.x(i), l.y(i))))
       case p: GPolygon => p.rings.foreach(collect)
       case GMulti(_, gs) => gs.foreach(collect)

@@ -160,7 +160,7 @@ object GeomOps {
 
   /** Polygon centroid (area-weighted); point/line fall back to vertex mean. */
   def centroid(g: Geom): (Double, Double) = g match {
-    case GPoint(x, y, _, _) => (x, y)
+    case p: GPoint => (p.x, p.y)
     case l: GLine =>
       var sx = 0.0; var sy = 0.0
       var i = 0
@@ -240,7 +240,8 @@ object GeomOps {
     * Mirrors OGRGeometry::Distance semantics for the shapes we support.
     */
   def distance(a: Geom, b: Geom): Double = (a, b) match {
-    case (GPoint(ax, ay, _, _), GPoint(bx, by, _, _)) =>
+    case (a: GPoint, b: GPoint) =>
+      val ax = a.x; val ay = a.y; val bx = b.x; val by = b.y
       math.hypot(ax - bx, ay - by)
     case (p: GPoint, l: GLine) => math.sqrt(distToLineSq(l, p.x, p.y))
     case (l: GLine, p: GPoint) => math.sqrt(distToLineSq(l, p.x, p.y))

@@ -159,14 +159,14 @@ object GeoRt {
         }
     }
     def tx(g: Geom): Geom = g match {
-      case GPoint(px, py, z, h) => val (nx, ny) = fn(px, py); GPoint(nx, ny, z, h)
+      case p: GPoint => val (nx, ny) = fn(p.x, p.y); p.copy(x = nx, y = ny)
       case l: GLine =>
         val out = new Array[Double](l.xy.length)
         var i = 0
         while (i < l.numPoints) {
           val (nx, ny) = fn(l.x(i), l.y(i)); out(2 * i) = nx; out(2 * i + 1) = ny; i += 1
         }
-        GLine(out, l.z)
+        GLine(out, l.z, l.m)
       case p: GPolygon => GPolygon(p.rings.map(r => tx(r).asInstanceOf[GLine]))
       case m: GMulti => GMulti(m.multiKind, m.geoms.map(tx))
     }
