@@ -720,7 +720,9 @@ object SparkEntry {
         (16L, 4326, 3035, 10.0, 52.0),
         (17L, 4326, 3035, -3.70, 40.42),
         (18L, 32631, 2154, 652000.0, 5420000.0),
-        (19L, 27700, 4326, 530000.0, 180000.0))
+        (19L, 27700, 4326, 530000.0, 180000.0),
+        (20L, 4326, 5070, -96.0, 35.0),
+        (21L, 4326, 5070, -118.24, 34.05))
         .toDF("pid", "src", "dst", "px", "py")
       val g = gf.st_transform(gf.st_point(col("px"), col("py")), col("src"), col("dst"))
       def r(c: Column): Column =
@@ -1532,7 +1534,9 @@ object SparkEntry {
         |  (CAST(16 AS BIGINT), CAST(3035 AS INTEGER), CAST(4321000.0 AS DOUBLE), CAST(3210000.0 AS DOUBLE)),
         |  (CAST(17 AS BIGINT), CAST(3035 AS INTEGER), CAST(3159766.9306 AS DOUBLE), CAST(2030142.1132 AS DOUBLE)),
         |  (CAST(18 AS BIGINT), CAST(2154 AS INTEGER), CAST(852037.9367 AS DOUBLE), CAST(6870250.2248 AS DOUBLE)),
-        |  (CAST(19 AS BIGINT), CAST(4326 AS INTEGER), CAST(-0.12835398 AS DOUBLE), CAST(51.50399083 AS DOUBLE)))
+        |  (CAST(19 AS BIGINT), CAST(4326 AS INTEGER), CAST(-0.12835398 AS DOUBLE), CAST(51.50399083 AS DOUBLE)),
+        |  (CAST(20 AS BIGINT), CAST(5070 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(1326800.7964 AS DOUBLE)),
+        |  (CAST(21 AS BIGINT), CAST(5070 AS INTEGER), CAST(-2019412.2893 AS DOUBLE), CAST(1457943.8761 AS DOUBLE)))
         |AS t(pid, epsg, x_r, y_r)""".stripMargin,
     "q_warp_utm" -> {
       // pinned from tools/gen_proj_oracle.py --warp (independent

@@ -323,6 +323,68 @@ object Proj {
     }
   }
 
+  /** q(φ) — Snyder (3-12), shared by the equal-area projections. */
+  private def qsfn(ell: Ellipsoid, phi: Double): Double = {
+    val sinPhi = math.sin(phi)
+    val e = ell.e
+    (1 - ell.es) * (sinPhi / (1 - ell.es * sinPhi * sinPhi) -
+      (1 / (2 * e)) * math.log((1 - e * sinPhi) / (1 + e * sinPhi)))
+  }
+
+  /** φ from q by Newton iteration — Snyder (3-16). */
+  private def invQsfn(ell: Ellipsoid, q: Double): Double = {
+    val e = ell.e; val es = ell.es
+    var phi = math.asin(math.max(-1, math.min(1, q / 2)))
+    var i = 0
+    while (i < 15) {
+      val sinPhi = math.sin(phi); val cosPhi = math.cos(phi)
+      val con = 1 - es * sinPhi * sinPhi
+      val d = con * con / (2 * cosPhi) * (q / (1 - es) - sinPhi / con +
+        (1 / (2 * e)) * math.log((1 - e * sinPhi) / (1 + e * sinPhi)))
+      phi += d
+      if (math.abs(d) < 1e-14) i = 15 else i += 1
+    }
+    phi
+  }
+
+  /** Albers Equal-Area conic, 2 standard parallels — Snyder
+    * (14-1)..(14-21).
+    */
+  final case class Aea(ell: Ellipsoid, lat1Deg: Double, lat2Deg: Double,
+                       lat0Deg: Double, lon0Deg: Double,
+                       fe: Double, fn: Double) extends Projection {
+    private val lon0 = math.toRadians(lon0Deg)
+    private val m1 = msfn(ell.es, math.toRadians(lat1Deg))
+    private val m2 = msfn(ell.es, math.toRadians(lat2Deg))
+    private val q1 = qsfn(ell, math.toRadians(lat1Deg))
+    private val q2 = qsfn(ell, math.toRadians(lat2Deg))
+    private val q0 = qsfn(ell, math.toRadians(lat0Deg))
+    private val n =
+      if (math.abs(lat1Deg - lat2Deg) < 1e-10) math.sin(math.toRadians(lat1Deg))
+      else (m1 * m1 - m2 * m2) / (q2 - q1)
+    private val c = m1 * m1 + n * q1
+    private val rho0 = ell.a * math.sqrt(c - n * q0) / n
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      var dLon = lon - lon0
+      while (dLon > math.Pi) dLon -= 2 * math.Pi
+      while (dLon < -math.Pi) dLon += 2 * math.Pi
+      val rho = ell.a * math.sqrt(c - n * qsfn(ell, lat)) / n
+      val theta = n * dLon
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe; val dy = rho0 - (y - fn)
+      var rho = math.hypot(dx, dy)
+      var theta = math.atan2(dx, dy)
+      if (n < 0) { rho = -rho; theta = math.atan2(-dx, -dy) }
+      val lon = theta / n + lon0
+      val q = (c - rho * rho * n * n / (ell.a * ell.a)) / n
+      (lon, invQsfn(ell, q))
+    }
+  }
+
   /** Lambert Azimuthal Equal-Area, ellipsoidal oblique — Snyder
     * (24-3)..(24-29) via authalic latitudes.
     */
@@ -421,6 +483,8 @@ object Proj {
       Some(Crs(code, PolarStereo(WGS84, -90, 0, 0.994, 2000000, 2000000, south = true), None))
     case 3035 => // ETRS89-extended / LAEA Europe
       Some(Crs(code, Laea(GRS80, 52, 10, 4321000, 3210000), None))
+    case 5070 => // NAD83 / Conus Albers (NAD83 ≈ WGS84 at this accuracy)
+      Some(Crs(code, Aea(GRS80, 29.5, 45.5, 23, -96, 0, 0), None))
     case _ => None
   }
 

@@ -21,7 +21,8 @@ class ProjCrossSpec extends AnyFunSuite {
       (11, 3413, -45.0, 70.0), (12, 3413, -30.0, 78.0),
       (13, 3031, 0.0, -75.0), (14, 3031, 166.67, -77.85),
       (15, 5041, 10.0, 85.0), (16, 3035, 10.0, 52.0),
-      (17, 3035, -3.70, 40.42))
+      (17, 3035, -3.70, 40.42), (20, 5070, -96.0, 35.0),
+      (21, 5070, -118.24, 34.05))
     val p2p = Seq(
       (18, 32631, 2154, 652000.0, 5420000.0),
       (19, 27700, 4326, 530000.0, 180000.0))

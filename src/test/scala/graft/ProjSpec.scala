@@ -78,7 +78,7 @@ class ProjSpec extends AnyFunSuite {
       (1.0, 51.0), (3.5, 48.0), (-1.9, 52.5), (14.9, -33.0), (15.5, -2.0),
       (-44.0, 75.0), (-46.0, 82.0), (120.0, -80.0), (0.5, -88.0),
       (9.0, 50.0), (11.0, 55.0), (5.1, 60.0))
-    val codes = Seq(32631, 32733, 25832, 27700, 2154, 3413, 3031, 5041, 5042, 3035)
+    val codes = Seq(32631, 32733, 25832, 27700, 2154, 3413, 3031, 5041, 5042, 3035, 5070)
     for (code <- codes) {
       val crs = byEpsg(code).get
       for ((lonD, latD) <- pts) {
@@ -94,6 +94,7 @@ class ProjSpec extends AnyFunSuite {
           case 3031 => latD < -60
           case 5042 => latD < -60
           case 3035 => lonD > -10 && lonD < 30 && latD > 35 && latD < 70
+          case 5070 => false // exercised via the dedicated points below
         }
         if (ok) {
           val (lon, lat) = (math.toRadians(lonD), math.toRadians(latD))
@@ -103,6 +104,33 @@ class ProjSpec extends AnyFunSuite {
             s"EPSG $code roundtrip at ($lonD,$latD): ($ilon,$ilat) vs ($lon,$lat)")
         }
       }
+    }
+  }
+
+  test("Albers 5070 equal-area property and roundtrip") {
+    val aea = byEpsg(5070).get.proj
+    // equal-area: a 1°×1° quad at two very different latitudes must keep
+    // the same projected area ratio as the true ellipsoidal areas (~cosφ)
+    def quadArea(lonD: Double, latD: Double): Double = {
+      val pts = Seq((lonD, latD), (lonD + 1, latD), (lonD + 1, latD + 1), (lonD, latD + 1))
+      val p = pts.map { case (lo, la) => aea.forward(math.toRadians(lo), math.toRadians(la)) }
+      math.abs((0 until 4).map { i =>
+        val (x1, y1) = p(i); val (x2, y2) = p((i + 1) % 4)
+        x1 * y2 - x2 * y1
+      }.sum / 2)
+    }
+    def sphQuad(latD: Double): Double = {
+      // ellipsoid-authalic area of a 1x1 deg quad ∝ ∫cosφ dφ corrected —
+      // spherical is within 0.7%, and we compare RATIOS, so use spherical
+      math.sin(math.toRadians(latD + 1)) - math.sin(math.toRadians(latD))
+    }
+    val r = (quadArea(-100, 30) / quadArea(-80, 45)) / (sphQuad(30) / sphQuad(45))
+    assert(math.abs(r - 1.0) < 0.005, s"area ratio deviation $r")
+    for ((lonD, latD) <- Seq((-96.0, 35.0), (-118.24, 34.05), (-75.0, 42.0))) {
+      val (x, y) = aea.forward(math.toRadians(lonD), math.toRadians(latD))
+      val (ilon, ilat) = aea.inverse(x, y)
+      assert(math.abs(math.toDegrees(ilon) - lonD) < 1e-9)
+      assert(math.abs(math.toDegrees(ilat) - latD) < 1e-9)
     }
   }
 

@@ -268,6 +268,60 @@ class Laea:
         return lon, lat
 
 
+def qsfn(a_es, e, phi):
+    s_ = math.sin(phi)
+    es = a_es
+    return (1 - es) * (s_ / (1 - es * s_ * s_) -
+                       (1 / (2 * e)) * math.log((1 - e * s_) / (1 + e * s_)))
+
+
+class Aea:
+    """Albers equal-area 2SP, independently coded from Snyder 14-1..14-21."""
+
+    def __init__(self, ell, lat1, lat2, lat0, lon0, fe, fn):
+        self.a, self.es = es_of(ell)
+        self.e = math.sqrt(self.es)
+        p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+        self.lam0 = math.radians(lon0)
+        m1, m2 = msfn(self.es, p1), msfn(self.es, p2)
+        q1 = qsfn(self.es, self.e, p1)
+        q2 = qsfn(self.es, self.e, p2)
+        q0 = qsfn(self.es, self.e, p0)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.c = m1 * m1 + self.n * q1
+        self.rho0 = self.a * math.sqrt(self.c - self.n * q0) / self.n
+        self.fe, self.fn_ = fe, fn
+
+    def fwd(self, lon, lat):
+        lam = lon - self.lam0
+        while lam > math.pi:
+            lam -= 2 * math.pi
+        while lam < -math.pi:
+            lam += 2 * math.pi
+        rho = self.a * math.sqrt(self.c - self.n * qsfn(self.es, self.e, lat)) / self.n
+        th = self.n * lam
+        return self.fe + rho * math.sin(th), self.fn_ + self.rho0 - rho * math.cos(th)
+
+    def inv(self, x, y):
+        dx, dy = x - self.fe, self.rho0 - (y - self.fn_)
+        rho = math.hypot(dx, dy)
+        th = math.atan2(dx, dy)
+        if self.n < 0:
+            rho, th = -rho, math.atan2(-dx, -dy)
+        lon = th / self.n + self.lam0
+        q = (self.c - rho * rho * self.n * self.n / (self.a * self.a)) / self.n
+        phi = math.asin(min(1, max(-1, q / 2)))
+        for _ in range(15):
+            s_, c_ = math.sin(phi), math.cos(phi)
+            con = 1 - self.es * s_ * s_
+            d = con * con / (2 * c_) * (q / (1 - self.es) - s_ / con +
+                (1 / (2 * self.e)) * math.log((1 - self.e * s_) / (1 + self.e * s_)))
+            phi += d
+            if abs(d) < 1e-14:
+                break
+        return lon, phi
+
+
 class Geographic:
     def __init__(self, ell):
         self.a, self.es = es_of(ell)
@@ -333,6 +387,7 @@ CRS = {
     3031: ("wgs84", PolarStereo("wgs84", -71, 0, 1.0, 0, 0, True), None),
     5041: ("wgs84", PolarStereo("wgs84", 90, 0, 0.994, 2000000, 2000000, False), None),
     3035: ("grs80", Laea("grs80", 52, 10, 4321000, 3210000), None),
+    5070: ("grs80", Aea("grs80", 29.5, 45.5, 23, -96, 0, 0), None),
 }
 
 
@@ -372,6 +427,8 @@ POINTS = [
     (15, 5041, 10.0, 85.0),         # UPS north
     (16, 3035, 10.0, 52.0),         # LAEA Europe center-ish
     (17, 3035, -3.70, 40.42),       # Madrid in LAEA
+    (20, 5070, -96.0, 35.0),        # CONUS Albers central meridian
+    (21, 5070, -118.24, 34.05),     # Los Angeles
 ]
 PROJ2PROJ = [
     (18, 32631, 2154, 652000.0, 5420000.0),   # UTM31 → Lambert-93
