@@ -128,11 +128,24 @@ object Arrangement {
       changed = false
       pass += 1
       val splits = Array.fill(segs.length)(ArrayBuffer[(Long, Long)]())
-      @inline def addSplit(i: Int, x: Long, y: Long): Unit = {
+      // exact-on-segment points (endpoint touches, collinear overlaps)
+      @inline def addSplitOn(i: Int, x: Long, y: Long): Unit = {
         val s = segs(i)
         if (!((x == s.ax && y == s.ay) || (x == s.bx && y == s.by)) &&
           onSeg(s.ax, s.ay, s.bx, s.by, x, y) &&
           orient(s.ax, s.ay, s.bx, s.by, x, y) == 0) {
+          if (!splits(i).contains((x, y))) { splits(i) += ((x, y)); changed = true }
+        }
+      }
+      // rounded CROSSING points: almost never exactly on the integer line —
+      // snap rounding bends the segment at the split (≤ 1 grid unit); the
+      // next noding pass re-checks the bent pieces. Requiring exact
+      // collinearity here silently dropped every diagonal crossing.
+      @inline def addSplitX(i: Int, x: Long, y: Long): Unit = {
+        val s = segs(i)
+        if (!((x == s.ax && y == s.ay) || (x == s.bx && y == s.by)) &&
+          x >= math.min(s.ax, s.bx) - 2 && x <= math.max(s.ax, s.bx) + 2 &&
+          y >= math.min(s.ay, s.by) - 2 && y <= math.max(s.ay, s.by) + 2) {
           if (!splits(i).contains((x, y))) { splits(i) += ((x, y)); changed = true }
         }
       }
@@ -153,8 +166,8 @@ object Arrangement {
             val o4 = orient(s2.ax, s2.ay, s2.bx, s2.by, s1.bx, s1.by)
             if (o1 == 0 && o2 == 0) {
               // collinear: split each at the other's interior endpoints
-              addSplit(i, s2.ax, s2.ay); addSplit(i, s2.bx, s2.by)
-              addSplit(j, s1.ax, s1.ay); addSplit(j, s1.bx, s1.by)
+              addSplitOn(i, s2.ax, s2.ay); addSplitOn(i, s2.bx, s2.by)
+              addSplitOn(j, s1.ax, s1.ay); addSplitOn(j, s1.bx, s1.by)
             } else if (o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0) {
               // proper crossing: rounded to the even grid
               val r1x = (s1.bx - s1.ax).toDouble; val r1y = (s1.by - s1.ay).toDouble
@@ -163,13 +176,13 @@ object Arrangement {
               val t = ((s2.ax - s1.ax) * r2y - (s2.ay - s1.ay) * r2x) / den
               val px = roundEven(s1.ax + t * r1x)
               val py = roundEven(s1.ay + t * r1y)
-              addSplit(i, px, py); addSplit(j, px, py)
+              addSplitX(i, px, py); addSplitX(j, px, py)
             } else {
               // endpoint touching the other's interior
-              if (o1 == 0) addSplit(i, s2.ax, s2.ay)
-              if (o2 == 0) addSplit(i, s2.bx, s2.by)
-              if (o3 == 0) addSplit(j, s1.ax, s1.ay)
-              if (o4 == 0) addSplit(j, s1.bx, s1.by)
+              if (o1 == 0) addSplitOn(i, s2.ax, s2.ay)
+              if (o2 == 0) addSplitOn(i, s2.bx, s2.by)
+              if (o3 == 0) addSplitOn(j, s1.ax, s1.ay)
+              if (o4 == 0) addSplitOn(j, s1.bx, s1.by)
             }
           }
           j += 1
