@@ -92,6 +92,56 @@ object Overview {
   }
 
   /** Full pyramid: returns levels 1..n (level 0 = input). */
+  /** Best-overview substitution (`gcore/rasterio.cpp:2486`
+    * GDALBandGetBestOverviewLevel2): the desired resolution is the
+    * LEAST-reduced axis ratio (src pixels per buffer pixel); pick the
+    * overview with the LARGEST resolution still below desired×1.2.
+    * Returns −1 when no overview helps (read the base raster). At scale
+    * this is the difference between scanning the full table of base tiles
+    * and scanning a pyramid level ~factor² smaller for decimated reads,
+    * histograms, and statistics (`gdalrasterband.cpp:2683` GetHistogram
+    * takes the same path).
+    *
+    * @param levels (width, height) of each overview, finest first
+    */
+  def bestOverviewLevel(baseW: Int, baseH: Int, levels: Seq[(Int, Int)],
+                        srcW: Int, srcH: Int, bufW: Int, bufH: Int): Int = {
+    val desired =
+      if (srcW.toDouble / bufW < srcH.toDouble / bufH || bufH == 1)
+        srcW.toDouble / bufW
+      else srcH.toDouble / bufH
+    var best = -1
+    var bestRes = 0.0
+    var i = 0
+    while (i < levels.length) {
+      val (w, h) = levels(i)
+      val res =
+        if (baseW.toDouble / w < baseH.toDouble / h) baseW.toDouble / w
+        else baseH.toDouble / h
+      if (!(res >= desired * 1.2 || res <= bestRes)) { best = i; bestRes = res }
+      i += 1
+    }
+    best
+  }
+
+  /** Decimated read with overview substitution: nearest-resize served from
+    * the best pyramid level instead of the base raster (the
+    * RasterIOResampled-over-overviews path, `gcore/rasterio.cpp:213`).
+    * Falls back to the base when no level qualifies.
+    */
+  def resizeWithPyramid(base: Dataset[IStrip], baseW: Int, baseH: Int,
+                        pyramidLevels: Seq[(Dataset[IStrip], Int, Int)],
+                        dstW: Int, dstH: Int): (Dataset[IStrip], Int) = {
+    val lvl = bestOverviewLevel(baseW, baseH,
+      pyramidLevels.map(l => (l._2, l._3)), baseW, baseH, dstW, dstH)
+    if (lvl < 0)
+      (Translate.resizeNearest(base, baseW, baseH, dstW, dstH), -1)
+    else {
+      val (ds, w, h) = pyramidLevels(lvl)
+      (Translate.resizeNearest(ds, w, h, dstW, dstH), lvl)
+    }
+  }
+
   def pyramid(strips: Dataset[IStrip], nLevels: Int, r: Resampler): Seq[Dataset[IStrip]] = {
     var cur = strips
     (1 to nLevels).map { _ =>
