@@ -991,6 +991,16 @@ object SparkEntry {
         .groupBy(col("qid"))
         .agg(count(col("aid")).as("n_overlap"))
     }),
+    "q_embed_neardup" -> ((s, d) => {
+      // embedding-cosine near-dup pairs, exact baseline (broadcast
+      // all-pairs at fixture scale; the LSH bucketed path is the scale
+      // variant, recall-asserted in PipelineOpsSpec). Threshold 0.45 sits
+      // in a ≥0.0016-wide gap of the sf0.01 cosine distribution, so
+      // cross-engine float noise cannot flip a pair.
+      Dedup.embedNearDupExact(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_graph_cc" -> ((s, d) =>
       GraphOps.connectedComponents(graphEdges(s), col("src"), col("dst"))
         .select(col("vertex"), col("comp"))),
@@ -1722,6 +1732,12 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
         |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
         |AS t(qid, n_overlap)""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY 1, 2""".stripMargin,
     "q_graph_cc" ->
       // closed form for the 10-group binary-tree forest
       """SELECT CAST(i AS BIGINT) AS vertex, CAST((i // 50) * 50 AS BIGINT) AS comp

@@ -101,6 +101,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector leg of the dedup
+    * family. [[embedNearDupExact]] is the all-pairs correctness baseline
+    * (one broadcast side; fine to ~1e5 vectors). [[embedNearDupLsh]] is
+    * the scale path: hyperplane-LSH bucketed self-join (hamming-probe
+    * neighbor buckets) + exact cosine verification inside buckets only —
+    * no all-pairs stage, same shape as the banded MinHash join.
+    */
+  def embedNearDupExact(corpus: DataFrame, id: Column, vec: Column,
+                        threshold: Double): DataFrame = {
+    val a = corpus.select(id.cast("long").as("id_a"), vec.as("__va"))
+    val b = corpus.select(id.cast("long").as("id_b"), vec.as("__vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter(Ann.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  def embedNearDupLsh(corpus: DataFrame, id: Column, vec: Column,
+                      threshold: Double, dim: Int, bits: Int = 8,
+                      seed: Long = 42L, probeRadius: Int = 1): DataFrame = {
+    val sigd = corpus.select(id.cast("long").as("id"), vec.as("__v"))
+      .withColumn("__sig", Ann.hyperplaneSig(col("__v"), dim, bits, seed))
+    val masks = Seq.newBuilder[Long]
+    masks += 0L
+    if (probeRadius >= 1) for (i <- 0 until bits) masks += (1L << i)
+    if (probeRadius >= 2)
+      for (i <- 0 until bits; j <- i + 1 until bits) masks += ((1L << i) | (1L << j))
+    val probes = masks.result().map(lit)
+    val a = sigd.select(col("id").as("id_a"), col("__v").as("__va"),
+      col("__sig").as("__siga"))
+      .withColumn("__flip", explode(array(probes: _*)))
+      .withColumn("__bucket", expr("__siga ^ __flip"))
+    val b = sigd.select(col("id").as("id_b"), col("__v").as("__vb"),
+      col("__sig").as("__sigb"))
+    a.join(b, col("__bucket") === col("__sigb") && col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(Ann.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
                     n: Int = 3, threshold: Double = 0.8): DataFrame = {
