@@ -991,6 +991,27 @@ object SparkEntry {
         .groupBy(col("qid"))
         .agg(count(col("aid")).as("n_overlap"))
     }),
+    "q_ogr_style" -> ((s, d) => {
+      import s.implicits._
+      // OGR feature-style engine (ogrfeaturestyle.cpp): part counting
+      // (naive-semicolon reference parity incl. quoted ';'), quote-honoring
+      // part split, tool names, params with quote/unit handling
+      Seq(
+        ("multi", "PEN(c:#FF0000,w:5px);BRUSH(fc:#0000FF)"),
+        ("label", "LABEL(f:\"Arial, Bold\",s:12pt,t:\"Hello; World\")"),
+        ("trail", "PEN(c:#102030);"))
+        .toDF("name", "style")
+        .select(col("name"),
+          gf.ogr_style_part_count(col("style")).as("n_parts"),
+          gf.ogr_style_tool(gf.ogr_style_part(col("style"), lit(0))).as("tool0"),
+          gf.ogr_style_param(gf.ogr_style_part(col("style"), lit(0)), lit("c")).as("c0"),
+          coalesce(gf.ogr_style_param(gf.ogr_style_part(col("style"), lit(0)), lit("w")),
+            lit("-")).as("w0"),
+          coalesce(gf.ogr_style_param(gf.ogr_style_part(col("style"), lit(0)), lit("t")),
+            lit("-")).as("t0"),
+          coalesce(gf.ogr_style_param_unit(gf.ogr_style_part(col("style"), lit(0)), lit("s")),
+            lit("-")).as("s_unit"))
+    }),
     "q_embed_neardup" -> ((s, d) => {
       // embedding-cosine near-dup pairs, exact baseline (broadcast
       // all-pairs at fixture scale; the LSH bucketed path is the scale
@@ -1732,6 +1753,12 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
         |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
         |AS t(qid, n_overlap)""".stripMargin,
+    "q_ogr_style" ->
+      """SELECT * FROM (VALUES
+        |  ('multi', 2, 'PEN', '#FF0000', '5', '-', '-'),
+        |  ('label', 2, 'LABEL', CAST(NULL AS VARCHAR), '-', 'Hello; World', 'pt'),
+        |  ('trail', 1, 'PEN', '#102030', '-', '-', '-'))
+        |AS t(name, n_parts, tool0, c0, w0, t0, s_unit)""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a, embeddings b

@@ -697,3 +697,83 @@ case class StPolygonize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "st_polygonize"
 }
+
+/** OGR feature-style introspection (`ogr/ogrfeaturestyle.cpp` — the
+  * OGR_SM_GetPartCount / GetPart / OGRStyleTool::GetParamStr surface).
+  */
+object StyleRt {
+  import graft.core.OgrStyleParse
+  def partCount(s: UTF8String): Int = OgrStyleParse.partCount(s.toString)
+  def part(s: UTF8String, i: Int): UTF8String = {
+    val r = OgrStyleParse.part(s.toString, i)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  def toolName(s: UTF8String): UTF8String = {
+    val r = OgrStyleParse.toolName(s.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  def param(s: UTF8String, k: UTF8String): UTF8String = {
+    val r = OgrStyleParse.param(s.toString, k.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  def paramUnit(s: UTF8String, k: UTF8String): UTF8String = {
+    val r = OgrStyleParse.paramUnit(s.toString, k.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+}
+
+case class OgrStylePartCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    StyleRt.partCount(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.StyleRt.partCount($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ogr_style_part_count"
+}
+
+/** op: 0 = part(style, i), 1 = param(part, key), 2 = param_unit(part, key). */
+case class OgrStyleBinary(left: Expression, right: Expression, op: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = op match {
+    case 0 => StyleRt.part(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+    case 1 => StyleRt.param(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    case _ => StyleRt.paramUnit(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = op match {
+      case 0 => "part"; case 1 => "param"; case _ => "paramUnit"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""UTF8String ${ev.value}Tmp = graft.expr.StyleRt.$fn($a, $b);
+         |if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Tmp; }""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = op match {
+    case 0 => "ogr_style_part"; case 1 => "ogr_style_param"
+    case _ => "ogr_style_param_unit"
+  }
+}
+
+case class OgrStyleToolName(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    StyleRt.toolName(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""UTF8String ${ev.value}Tmp = graft.expr.StyleRt.toolName($s);
+         |if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Tmp; }""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ogr_style_tool"
+}

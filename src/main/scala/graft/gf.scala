@@ -62,6 +62,14 @@ object gf {
   def st_asgml(g: Column): Column = col(StAsGml(x(g)))
   def st_geomfromgml(j: Column): Column = col(StGeomFromGml(x(j)))
   def st_numgeometries(g: Column): Column = col(StNumGeometries(x(g)))
+  def ogr_style_part_count(s: Column): Column = col(OgrStylePartCount(x(s)))
+  def ogr_style_part(s: Column, i: Column): Column =
+    col(OgrStyleBinary(x(s), x(i.cast("int")), 0))
+  def ogr_style_tool(part: Column): Column = col(OgrStyleToolName(x(part)))
+  def ogr_style_param(part: Column, key: Column): Column =
+    col(OgrStyleBinary(x(part), x(key), 1))
+  def ogr_style_param_unit(part: Column, key: Column): Column =
+    col(OgrStyleBinary(x(part), x(key), 2))
   /** Aggregate: dissolve all geometries of a group into disjoint
     * polygons-with-holes (cascaded union).
     */
@@ -169,6 +177,11 @@ object gf {
     r1("st_asgml", es => StAsGml(es.head))
     r1("st_geomfromgml", es => StGeomFromGml(es.head))
     r1("st_numgeometries", es => StNumGeometries(es.head))
+    r1("ogr_style_part_count", es => OgrStylePartCount(es.head))
+    r1("ogr_style_part", es => OgrStyleBinary(es(0), i(es(1)), 0))
+    r1("ogr_style_tool", es => OgrStyleToolName(es.head))
+    r1("ogr_style_param", es => OgrStyleBinary(es(0), es(1), 1))
+    r1("ogr_style_param_unit", es => OgrStyleBinary(es(0), es(1), 2))
     r1("st_segmentize", es => StSegmentize(es(0), d(es(1))))
     // aggregate (UDAF path, not FunctionRegistry)
     spark.udf.register("st_union_agg",
