@@ -149,49 +149,101 @@ object Arrangement {
           if (!splits(i).contains((x, y))) { splits(i) += ((x, y)); changed = true }
         }
       }
-      var i = 0
-      while (i < segs.length) {
-        val s1 = segs(i)
-        var j = i + 1
-        while (j < segs.length) {
-          val s2 = segs(j)
-          // bbox reject
-          if (!(math.max(s1.ax, s1.bx) < math.min(s2.ax, s2.bx) ||
-            math.max(s2.ax, s2.bx) < math.min(s1.ax, s1.bx) ||
-            math.max(s1.ay, s1.by) < math.min(s2.ay, s2.by) ||
-            math.max(s2.ay, s2.by) < math.min(s1.ay, s1.by))) {
-            val o1 = orient(s1.ax, s1.ay, s1.bx, s1.by, s2.ax, s2.ay)
-            val o2 = orient(s1.ax, s1.ay, s1.bx, s1.by, s2.bx, s2.by)
-            val o3 = orient(s2.ax, s2.ay, s2.bx, s2.by, s1.ax, s1.ay)
-            val o4 = orient(s2.ax, s2.ay, s2.bx, s2.by, s1.bx, s1.by)
-            if (o1 == 0 && o2 == 0) {
-              // collinear: split each at the other's interior endpoints
-              addSplitOn(i, s2.ax, s2.ay); addSplitOn(i, s2.bx, s2.by)
-              addSplitOn(j, s1.ax, s1.ay); addSplitOn(j, s1.bx, s1.by)
-            } else if (o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0) {
-              // proper crossing: rounded to the even grid
-              val r1x = (s1.bx - s1.ax).toDouble; val r1y = (s1.by - s1.ay).toDouble
-              val r2x = (s2.bx - s2.ax).toDouble; val r2y = (s2.by - s2.ay).toDouble
-              val den = r1x * r2y - r1y * r2x
-              val t = ((s2.ax - s1.ax) * r2y - (s2.ay - s1.ay) * r2x) / den
-              val px = roundEven(s1.ax + t * r1x)
-              val py = roundEven(s1.ay + t * r1y)
-              addSplitX(i, px, py); addSplitX(j, px, py)
-            } else {
-              // endpoint touching the other's interior
-              if (o1 == 0) addSplitOn(i, s2.ax, s2.ay)
-              if (o2 == 0) addSplitOn(i, s2.bx, s2.by)
-              if (o3 == 0) addSplitOn(j, s1.ax, s1.ay)
-              if (o4 == 0) addSplitOn(j, s1.bx, s1.by)
-            }
+      def testPair(i: Int, j: Int): Unit = {
+        val s1 = segs(i); val s2 = segs(j)
+        // bbox reject
+        if (!(math.max(s1.ax, s1.bx) < math.min(s2.ax, s2.bx) ||
+          math.max(s2.ax, s2.bx) < math.min(s1.ax, s1.bx) ||
+          math.max(s1.ay, s1.by) < math.min(s2.ay, s2.by) ||
+          math.max(s2.ay, s2.by) < math.min(s1.ay, s1.by))) {
+          val o1 = orient(s1.ax, s1.ay, s1.bx, s1.by, s2.ax, s2.ay)
+          val o2 = orient(s1.ax, s1.ay, s1.bx, s1.by, s2.bx, s2.by)
+          val o3 = orient(s2.ax, s2.ay, s2.bx, s2.by, s1.ax, s1.ay)
+          val o4 = orient(s2.ax, s2.ay, s2.bx, s2.by, s1.bx, s1.by)
+          if (o1 == 0 && o2 == 0) {
+            // collinear: split each at the other's interior endpoints
+            addSplitOn(i, s2.ax, s2.ay); addSplitOn(i, s2.bx, s2.by)
+            addSplitOn(j, s1.ax, s1.ay); addSplitOn(j, s1.bx, s1.by)
+          } else if (o1 != o2 && o3 != o4 && o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0) {
+            // proper crossing: rounded to the even grid
+            val r1x = (s1.bx - s1.ax).toDouble; val r1y = (s1.by - s1.ay).toDouble
+            val r2x = (s2.bx - s2.ax).toDouble; val r2y = (s2.by - s2.ay).toDouble
+            val den = r1x * r2y - r1y * r2x
+            val t = ((s2.ax - s1.ax) * r2y - (s2.ay - s1.ay) * r2x) / den
+            val px = roundEven(s1.ax + t * r1x)
+            val py = roundEven(s1.ay + t * r1y)
+            addSplitX(i, px, py); addSplitX(j, px, py)
+          } else {
+            // endpoint touching the other's interior
+            if (o1 == 0) addSplitOn(i, s2.ax, s2.ay)
+            if (o2 == 0) addSplitOn(i, s2.bx, s2.by)
+            if (o3 == 0) addSplitOn(j, s1.ax, s1.ay)
+            if (o4 == 0) addSplitOn(j, s1.bx, s1.by)
           }
-          j += 1
         }
-        i += 1
+      }
+      if (segs.length <= 512) {
+        // small inputs: straight all-pairs
+        var i = 0
+        while (i < segs.length) {
+          var j = i + 1
+          while (j < segs.length) { testPair(i, j); j += 1 }
+          i += 1
+        }
+      } else {
+        // uniform-grid candidate pruning: segments bucket by the bbox
+        // cells they touch; only pairs sharing a cell are tested (each
+        // at most once via a seen-set). Cell size tracks the average
+        // segment bbox so typical dissolve inputs test O(S·k) pairs, not
+        // O(S²); degenerate all-overlapping inputs degrade gracefully to
+        // the exact same tests the brute-force path would run.
+        var minX = Long.MaxValue; var minY = Long.MaxValue
+        var maxX = Long.MinValue; var maxY = Long.MinValue
+        var sumSpan = 0.0
+        segs.foreach { s =>
+          minX = math.min(minX, math.min(s.ax, s.bx))
+          maxX = math.max(maxX, math.max(s.ax, s.bx))
+          minY = math.min(minY, math.min(s.ay, s.by))
+          maxY = math.max(maxY, math.max(s.ay, s.by))
+          sumSpan += math.max(math.abs(s.ax - s.bx), math.abs(s.ay - s.by)).toDouble
+        }
+        val cell = math.max(1L, math.max((sumSpan / segs.length).toLong,
+          math.max(maxX - minX, maxY - minY) / 1024))
+        val buckets = MHashMap[Long, ArrayBuffer[Int]]()
+        @inline def cellsOf(s: SegM)(f: Long => Unit): Unit = {
+          val cx0 = (math.min(s.ax, s.bx) - minX) / cell
+          val cx1 = (math.max(s.ax, s.bx) - minX) / cell
+          val cy0 = (math.min(s.ay, s.by) - minY) / cell
+          val cy1 = (math.max(s.ay, s.by) - minY) / cell
+          var cx = cx0
+          while (cx <= cx1) {
+            var cy = cy0
+            while (cy <= cy1) { f(cx * 1000003L + cy); cy += 1 }
+            cx += 1
+          }
+        }
+        var i = 0
+        while (i < segs.length) {
+          cellsOf(segs(i))(key => buckets.getOrElseUpdate(key, ArrayBuffer[Int]()) += i)
+          i += 1
+        }
+        val seen = new java.util.HashSet[Long]()
+        buckets.valuesIterator.foreach { ids =>
+          var a = 0
+          while (a < ids.length) {
+            var b = a + 1
+            while (b < ids.length) {
+              val i0 = math.min(ids(a), ids(b)); val j0 = math.max(ids(a), ids(b))
+              if (seen.add(i0.toLong * Int.MaxValue + j0)) testPair(i0, j0)
+              b += 1
+            }
+            a += 1
+          }
+        }
       }
       if (changed) {
         val next = ArrayBuffer[SegM]()
-        i = 0
+        var i = 0
         while (i < segs.length) {
           val s = segs(i)
           if (splits(i).isEmpty) next += s

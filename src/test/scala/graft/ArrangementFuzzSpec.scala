@@ -94,6 +94,26 @@ class ArrangementFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("large dissolve: 1500 rects via the bucketed noder, exact area") {
+    val rs = (0 until 1500).map { k =>
+      val x0 = rnd(7777, 4 * k) * 200
+      val y0 = rnd(7777, 4 * k + 1) * 200
+      val w = 0.5 + rnd(7777, 4 * k + 2) * 6
+      val h = 0.5 + rnd(7777, 4 * k + 3) * 6
+      (x0, y0, x0 + w, y0 + h)
+    }
+    val expect = exactRectUnion(rs)
+    val t0 = System.nanoTime()
+    val got = area(Arrangement.unionCascaded(
+      rs.map(r => rect(r._1, r._2, r._3 - r._1, r._4 - r._2))))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(math.abs(got - expect) < 1e-4 * expect, s"union $got vs sweep $expect")
+    // the uniform-grid candidate pruning must keep this out of O(S²)
+    // territory (brute force on ~6000 segments × passes is >>30 s)
+    assert(sec < 30.0, s"bucketed large dissolve took $sec s")
+    info(f"1500-rect dissolve: $sec%.2f s, area $got%.1f")
+  }
+
   test("dissolve of butted tile grid leaves one polygon, exact area") {
     // 6×6 grid of unit tiles sharing edges — the classic sliver trap
     val tiles = for (i <- 0 until 6; j <- 0 until 6) yield rect(i, j, 1, 1)
