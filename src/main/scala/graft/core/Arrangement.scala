@@ -58,11 +58,14 @@ object Arrangement {
       rings += InRing(xy, region, if (isCcw == ccw) 1 else -1)
     }
 
-    /** Every ring of the geometry into one region (even-odd). */
+    /** Every ring of an AREAL geometry into one region (even-odd).
+      * Non-areal inputs (points, linestrings) contribute nothing — the
+      * boolean ops keep their documented polygon-only scope instead of
+      * fabricating area from an implicitly closed line.
+      */
     def addGeom(g: Geom, region: Int): Unit = g match {
       case p: GPolygon => p.rings.foreach(r => addRing(r.xy, region))
       case GMulti(_, gs) => gs.foreach(addGeom(_, region))
-      case l: GLine => addRing(l.xy, region)
       case _ => ()
     }
 
@@ -215,11 +218,44 @@ object Arrangement {
           val cx1 = (math.max(s.ax, s.bx) - minX) / cell
           val cy0 = (math.min(s.ay, s.by) - minY) / cell
           val cy1 = (math.max(s.ay, s.by) - minY) / cell
-          var cx = cx0
-          while (cx <= cx1) {
-            var cy = cy0
-            while (cy <= cy1) { f(cx * 1000003L + cy); cy += 1 }
-            cx += 1
+          val boxCells = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+          if (boxCells <= 16) {
+            // small bbox: enumerate it outright
+            var cx = cx0
+            while (cx <= cx1) {
+              var cy = cy0
+              while (cy <= cy1) { f(cx * 1000003L + cy); cy += 1 }
+              cx += 1
+            }
+          } else {
+            // long segment: walk ALONG the line at half-cell steps and
+            // insert the 3×3 neighborhood of each sampled cell — covers
+            // every cell the segment touches in O(length/cell) entries
+            // instead of O(bbox area) (a full-extent diagonal would
+            // otherwise insert ~10^6 cells)
+            val steps = (2 * math.max(cx1 - cx0, cy1 - cy0) + 1).toInt
+            var k = 0
+            var lastCx = Long.MinValue; var lastCy = Long.MinValue
+            while (k <= steps) {
+              val t = k.toDouble / steps
+              val px = s.ax + ((s.bx - s.ax) * t).toLong
+              val py = s.ay + ((s.by - s.ay) * t).toLong
+              val cx = (px - minX) / cell
+              val cy = (py - minY) / cell
+              if (cx != lastCx || cy != lastCy) {
+                var dx = -1L
+                while (dx <= 1) {
+                  var dy = -1L
+                  while (dy <= 1) {
+                    f((cx + dx) * 1000003L + (cy + dy))
+                    dy += 1
+                  }
+                  dx += 1
+                }
+                lastCx = cx; lastCy = cy
+              }
+              k += 1
+            }
           }
         }
         var i = 0
@@ -555,18 +591,33 @@ object Arrangement {
       val n = openLen(r.xy) / 2
       if (n >= 3) {
         // ring direction honors the weight sign
+        var emitted = 0
+        var distinctIn = false
         var i = 0
         while (i < n) {
           val j = (i + 1) % n
+          if (r.xy(2 * i) != r.xy(2 * j) || r.xy(2 * i + 1) != r.xy(2 * j + 1))
+            distinctIn = true
           val ax = q(r.xy(2 * i), minX); val ay = q(r.xy(2 * i + 1), minY)
           val bx = q(r.xy(2 * j), minX); val by = q(r.xy(2 * j + 1), minY)
           val w = new Array[Int](nRegions)
           w(r.region) = r.w
-          if (ax != bx || ay != by)
+          if (ax != bx || ay != by) {
             segs += (if (r.w >= 0) new SegM(ax, ay, bx, by, w)
                      else { w(r.region) = 1; new SegM(bx, by, ax, ay, w) })
+            emitted += 1
+          }
           i += 1
         }
+        // a non-degenerate input ring that produced NO segments collapsed
+        // entirely at the shared snapping grid (tiny feature in a huge
+        // combined extent) — fail loudly rather than silently dropping
+        // the feature from the overlay/dissolve result
+        if (emitted == 0 && distinctIn)
+          throw new IllegalArgumentException(
+            "arrangement: input ring collapses at the shared snapping grid " +
+              s"(extent $extent vs feature size below ${extent / (1L << GridBits)}); " +
+              "split the operation into locality groups or scale inputs")
       }
     }
     val back = (ix: Long, iy: Long) => (ix / 2.0 / scale + minX, iy / 2.0 / scale + minY)

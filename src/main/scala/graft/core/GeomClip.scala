@@ -290,7 +290,6 @@ object GeomClip {
     }
     g match {
       case p: GPoint if dist > 0 => circle(p.x, p.y)
-      case GMulti(4, gs) => GMulti(6, gs.map(buffer(_, dist, quadSegs)))
       case other =>
         Arrangement.buffer(other, dist, quadSegs) match {
           case Seq() => GMulti(6, Array.empty[Geom])

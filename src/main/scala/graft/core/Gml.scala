@@ -159,9 +159,35 @@ object Gml {
     case "point" =>
       val l = parsePositions(s, t.contentStart, t.contentEnd)
       GPoint(l.x(0), l.y(0), if (l.z != null) l.z(0) else 0.0, l.z != null)
-    case "linestring" | "linearring" | "curve" =>
+    case "linestring" | "linearring" =>
       parsePositions(s, t.contentStart, t.contentEnd)
-    case "polygon" | "surface" =>
+    case "curve" =>
+      // GML3 Curve: gml:segments holding LineStringSegment children —
+      // concatenate their positions in document order
+      val seg = firstNamed(s, t.contentStart, t.contentEnd, Set("segments"))
+      if (seg == null) parsePositions(s, t.contentStart, t.contentEnd)
+      else {
+        val parts = childTags(s, seg.contentStart, seg.contentEnd)
+          .filter(c => c.name == "linestringsegment" || c.name == "linestring")
+          .map(c => parsePositions(s, c.contentStart, c.contentEnd))
+        require(parts.nonEmpty, "GML: Curve without LineStringSegment")
+        val hasZ = parts.exists(_.z != null)
+        val xy = parts.flatMap(_.xy).toArray
+        val z = if (hasZ) parts.flatMap(p =>
+          if (p.z != null) p.z.toSeq else Seq.fill(p.numPoints)(0.0)).toArray
+        else null
+        GLine(xy, z)
+      }
+    case "surface" =>
+      // GML3 Surface: gml:patches → first PolygonPatch parsed as a polygon
+      val patches = firstNamed(s, t.contentStart, t.contentEnd, Set("patches"))
+      require(patches != null, "GML: Surface without patches")
+      val patch = firstNamed(s, patches.contentStart, patches.contentEnd,
+        Set("polygonpatch", "rectangle", "triangle"))
+      require(patch != null, "GML: Surface without PolygonPatch")
+      parseElement(s, Tag("polygon", patch.start, patch.contentStart,
+        patch.contentEnd, patch.end))
+    case "polygon" =>
       var outer: GLine = null
       val inner = Seq.newBuilder[GLine]
       childTags(s, t.contentStart, t.contentEnd).foreach { c =>

@@ -308,11 +308,18 @@ object Palette {
     val sc = spark.sparkContext
     val colorMapB = sc.broadcast(buildColorMap(pct))
     val pctB = sc.broadcast(pct)
-    val n = strips.count().toInt
+    // rank-remap stripIdx so the serial chain visits strips in stripIdx
+    // ORDER even when indices are non-contiguous (filtered/tiled inputs):
+    // partition r holds the strip of rank r, matching the streamed
+    // variant's orderBy(stripIdx) semantics exactly
+    val ranks: Map[Int, Int] = {
+      import spark.implicits._
+      strips.select("stripIdx").as[Int].collect().sorted.zipWithIndex.toMap
+    }
+    val n = ranks.size
     if (n == 0) return
-    // place strip i alone in partition i so each chained job touches one
-    // executor-resident partition
-    val byIdx = strips.rdd.map(s => (s.stripIdx, s))
+    val ranksB = sc.broadcast(ranks)
+    val byIdx = strips.rdd.map(s => (ranksB.value(s.stripIdx), s))
       .partitionBy(new org.apache.spark.HashPartitioner(n) {
         override def getPartition(key: Any): Int = key.asInstanceOf[Int] % n
       })

@@ -160,6 +160,34 @@ class ArrangementSpec extends AnyFunSuite {
     assert(area(sym0) < 1e-6)
   }
 
+  test("non-areal overlay inputs yield empty, never fabricated area") {
+    val line = GLine(Array(0.0, 0, 4, 0, 4, 4, 0, 4))
+    val p = sq(0, 0, 4)
+    assert(Arrangement.overlay2(line, p, 0).isEmpty)
+    assert(math.abs(area(Arrangement.overlay2(p, line, 1)) - 16.0) < 1e-6)
+  }
+
+  test("grid-collapsed feature fails loudly instead of vanishing") {
+    val tiny = sq(0, 0, 1e-6)
+    val far = sq(100000, 100000, 10)
+    val e = intercept[IllegalArgumentException] {
+      Arrangement.unionCascaded(Seq(tiny, far))
+    }
+    assert(e.getMessage.contains("snapping grid"))
+  }
+
+  test("multipoint buffer unions overlapping circles") {
+    val mp = GMulti(4, Array(GPoint(0, 0), GPoint(0.1, 0)))
+    val buf = GeomClip.buffer(mp, 1.0)
+    val a = buf match {
+      case p: GPolygon => GeomOps.area(p)
+      case GMulti(_, gs) => gs.map(GeomOps.area).sum
+    }
+    // union of two nearly-coincident unit circles ≈ one circle, NOT 2π
+    assert(a < math.Pi * 1.15, s"area $a double-counts overlap")
+    assert(a > math.Pi * 0.95)
+  }
+
   test("shared-edge adjacency unions without slivers") {
     val out = Arrangement.overlay2(sq(0, 0, 2), sq(2, 0, 2), 1)
     assert(out.length === 1, s"got ${out.length}")

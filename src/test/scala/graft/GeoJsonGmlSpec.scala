@@ -64,6 +64,26 @@ class GeoJsonGmlSpec extends AnyFunSuite {
     assert(p3.asInstanceOf[GPoint].x === 2.5 && p3.asInstanceOf[GPoint].y === 3.5)
   }
 
+  test("GeoJSON skips null/bool foreign members (RFC 7946 legal)") {
+    val g = GeoJson.fromJson(
+      """{"type":"Point","coordinates":[1,2],"crs":null,"lucky":true}""")
+    assert(g.asInstanceOf[GPoint].x === 1.0)
+  }
+
+  test("GML3 Surface/patches and Curve/segments parse") {
+    val surf = Gml.fromGml(
+      """<gml:Surface><gml:patches><gml:PolygonPatch><gml:exterior>
+        |<gml:LinearRing><gml:posList>0 0 4 0 4 4 0 4 0 0</gml:posList>
+        |</gml:LinearRing></gml:exterior></gml:PolygonPatch></gml:patches></gml:Surface>""".stripMargin)
+    assert(math.abs(GeomOps.area(surf.asInstanceOf[GPolygon]) - 16.0) < 1e-12)
+    val curve = Gml.fromGml(
+      """<gml:Curve><gml:segments>
+        |<gml:LineStringSegment><gml:posList>0 0 1 0</gml:posList></gml:LineStringSegment>
+        |<gml:LineStringSegment><gml:posList>1 0 1 3</gml:posList></gml:LineStringSegment>
+        |</gml:segments></gml:Curve>""".stripMargin)
+    assert(curve.asInstanceOf[GLine].numPoints === 4)
+  }
+
   test("GML polygon with hole keeps ring roles") {
     val holed = Geom.fromWkt("POLYGON((0 0,6 0,6 6,0 6,0 0),(2 2,4 2,4 4,2 4,2 2))")
     val gml = Gml.toGml(holed)

@@ -52,6 +52,14 @@ class MeasureSpec extends AnyFunSuite {
     assert(Geom.toWkt(Geom.fromWkb(xyz)) === "POINT (3 4 5)")
   }
 
+  test("mixed-dimension MULTIPOINT pads to the collection flags") {
+    val g = GMulti(4, Array(GPoint(1, 2, 3, true, 4, true), GPoint(5, 6)))
+    val w = Geom.toWkt(g)
+    assert(w === "MULTIPOINT ZM ((1 2 3 4),(5 6 0 0))", w)
+    val back = Geom.fromWkt(w) // must reparse cleanly
+    assert(back.hasZ && back.hasM)
+  }
+
   test("measures survive st_transform and EWKB M flag is read") {
     val m = Geom.fromWkt("LINESTRING M (3 0 42,4 1 43)")
     val out = graft.expr.GeoRt.transform(Geom.toWkb(m), 4326, 32631)

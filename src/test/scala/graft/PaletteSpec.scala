@@ -60,6 +60,32 @@ class PaletteSpec extends AnyFunSuite {
         s"stripH=$stripH chained dither differs from streamed")
     }
   }
+
+  test("chained dither handles non-contiguous strip indices") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // stripIdx 0, 2, 4 (as after filtering/tiling) — the chain must still
+    // visit in stripIdx order with the carried error line intact
+    val strips = Seq(0, 2, 4).zipWithIndex.map { case (sIdx, k) =>
+      val y0 = k * 17
+      val hh = if (k == 2) 16 else 17
+      Palette.RGBStrip(sIdx, y0, hh,
+        java.util.Arrays.copyOfRange(red, y0 * 50, (y0 + hh) * 50),
+        java.util.Arrays.copyOfRange(green, y0 * 50, (y0 + hh) * 50),
+        java.util.Arrays.copyOfRange(blue, y0 * 50, (y0 + hh) * 50))
+    }.toDS()
+    val ct = Palette.medianCutStrips(strips, 8)
+    val streamed = Palette.ditherStripsStreamed(strips, ct)
+      .toSeq.sortBy(_._2).flatMap(_._3).toArray
+    DitherSinkHolder.map.clear()
+    Palette.ditherStripsChained(strips, ct,
+      (sIdx, yOff, px) => { DitherSinkHolder.map.put(sIdx, (yOff, px)); () })
+    import scala.jdk.CollectionConverters._
+    val chained = DitherSinkHolder.map.asScala.toSeq
+      .sortBy(_._2._1).flatMap(_._2._2).toArray
+    assert(java.util.Arrays.equals(chained, streamed),
+      "non-contiguous chained dither differs from streamed")
+  }
 }
 
 /** JVM-static collection point for the executor-side dither sink (local
