@@ -158,6 +158,8 @@ object GeoJson {
     var geom: Geom = null
     var coordsAt = -1
     var geomsAt = -1
+    var geometryAt = -1
+    var featuresAt = -1
     var first = true
     while (p.peek() != '}') {
       if (!first) p.expect(',')
@@ -168,6 +170,8 @@ object GeoJson {
         case "type" => typ = p.str()
         case "coordinates" => coordsAt = p.i; p.skipValue()
         case "geometries" => geomsAt = p.i; p.skipValue()
+        case "geometry" => geometryAt = p.i; p.skipValue()
+        case "features" => featuresAt = p.i; p.skipValue()
         case _ => p.skipValue()
       }
     }
@@ -192,6 +196,13 @@ object GeoJson {
           q => GPolygon(parseArray(q, qq => lineOf(parseArray(qq, parsePos))).toArray): Geom).toArray)
       case "GeometryCollection" =>
         GMulti(7, parseArray(cursorAt(p, geomsAt), parseGeometry).toArray)
+      case "Feature" =>
+        // RFC 7946 §3.2: a Feature wraps one geometry (possibly null)
+        require(geometryAt >= 0, "GeoJSON: Feature without geometry")
+        parseGeometry(cursorAt(p, geometryAt))
+      case "FeatureCollection" =>
+        require(featuresAt >= 0, "GeoJSON: FeatureCollection without features")
+        GMulti(7, parseArray(cursorAt(p, featuresAt), parseGeometry).toArray)
       case other => throw new IllegalArgumentException(s"GeoJSON: unsupported type $other")
     }
     geom

@@ -567,6 +567,10 @@ object GeoFn {
     UTF8String.fromString(graft.core.Gml.toGml(GeoRt.decode(b)))
   def geomFromGml(s: UTF8String): Array[Byte] =
     Geom.toWkb(graft.core.Gml.fromGml(s.toString))
+  def centroid(b: Array[Byte]): Array[Byte] = {
+    val (cx, cy) = graft.core.GeomOps.centroid(GeoRt.decode(b))
+    Geom.toWkb(graft.core.GPoint(cx, cy))
+  }
   def numGeometries(b: Array[Byte]): Int = GeoRt.decode(b) match {
     case m: graft.core.GMulti => m.geoms.length
     case _ => 1
@@ -634,6 +638,20 @@ case class StGeomFromGml(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, s => s"graft.expr.GeoFn.geomFromGml($s)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "st_geomfromgml"
+}
+
+/** st_centroid(wkb) -> point wkb (area-weighted for polygons, vertex mean
+  * for lines — OGRGeometry::Centroid, `ogrgeometry.cpp:2814`).
+  */
+case class StCentroid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any): Any =
+    GeoFn.centroid(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.expr.GeoFn.centroid($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "st_centroid"
 }
 
 /** st_numpoints(wkb) -> int (total vertex count, closed rings counting the

@@ -57,6 +57,7 @@ object gf {
     col(StSimplifyPT(x(g), x(tol.cast("double"))))
   def st_polygonize(g: Column): Column = col(StPolygonize(x(g)))
   def st_numpoints(g: Column): Column = col(StNumPoints(x(g)))
+  def st_centroid(g: Column): Column = col(StCentroid(x(g)))
   def st_asgeojson(g: Column): Column = col(StAsGeoJson(x(g)))
   def st_geomfromgeojson(j: Column): Column = col(StGeomFromGeoJson(x(j)))
   def st_asgml(g: Column): Column = col(StAsGml(x(g)))
@@ -172,6 +173,7 @@ object gf {
     r1("st_simplify_preserve_topology", es => StSimplifyPT(es(0), d(es(1))))
     r1("st_polygonize", es => StPolygonize(es.head))
     r1("st_numpoints", es => StNumPoints(es.head))
+    r1("st_centroid", es => StCentroid(es.head))
     r1("st_asgeojson", es => StAsGeoJson(es.head))
     r1("st_geomfromgeojson", es => StGeomFromGeoJson(es.head))
     r1("st_asgml", es => StAsGml(es.head))

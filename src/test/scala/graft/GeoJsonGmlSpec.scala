@@ -70,6 +70,33 @@ class GeoJsonGmlSpec extends AnyFunSuite {
     assert(g.asInstanceOf[GPoint].x === 1.0)
   }
 
+  test("Feature and FeatureCollection wrappers unwrap to geometries") {
+    val f = GeoJson.fromJson(
+      """{"type":"Feature","properties":{"name":"x","n":3},
+        | "geometry":{"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]}}""".stripMargin)
+    assert(math.abs(GeomOps.area(f.asInstanceOf[GPolygon]) - 4.0) < 1e-12)
+    val fc = GeoJson.fromJson(
+      """{"type":"FeatureCollection","features":[
+        | {"type":"Feature","properties":null,"geometry":{"type":"Point","coordinates":[1,2]}},
+        | {"type":"Feature","properties":{},"geometry":{"type":"Point","coordinates":[3,4]}}]}""".stripMargin)
+    val gs = fc.asInstanceOf[GMulti].geoms
+    assert(gs.length === 2 && gs(1).asInstanceOf[GPoint].x === 3.0)
+  }
+
+  test("st_centroid matches the area-weighted formula") {
+    val spark = SparkTestBase.spark
+    gf.registerAll(spark)
+    // L-shape: centroid of (4x1 ∪ 1x3 stacked) =
+    // (4*0.5*(2,0.5) + 3*(0.5,2.5)) / 7
+    val r = spark.sql(
+      """select st_x(st_centroid(g)) x, st_y(st_centroid(g)) y from
+        |(select st_geomfromtext('POLYGON((0 0,4 0,4 1,1 1,1 4,0 4,0 0))') g)""".stripMargin)
+      .head()
+    val ex = (4 * 2.0 + 3 * 0.5) / 7
+    val ey = (4 * 0.5 + 3 * 2.5) / 7
+    assert(math.abs(r.getDouble(0) - ex) < 1e-12 && math.abs(r.getDouble(1) - ey) < 1e-12)
+  }
+
   test("GML3 Surface/patches and Curve/segments parse") {
     val surf = Gml.fromGml(
       """<gml:Surface><gml:patches><gml:PolygonPatch><gml:exterior>
