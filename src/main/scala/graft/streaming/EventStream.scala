@@ -66,6 +66,39 @@ object EventStream {
       .start()
   }
 
+  /** End-to-end STATEFUL file job: parquet events → gap sessionization
+    * (flatMapGroupsWithState keeps per-user state in the checkpoint's
+    * state store) → append parquet. Killing and restarting with the same
+    * checkpoint resumes with open sessions intact — the strongest form of
+    * the north rule's checkpointed-resume story (offsets + mutable state
+    * + sink commits all recovered).
+    */
+  def sessionizeFileJob(spark: org.apache.spark.sql.SparkSession,
+                        inDir: String, outDir: String, checkpointDir: String,
+                        gapMinutes: Int = 30)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val in = spark.readStream.schema(schema).parquet(inDir).as[Event]
+    sessionize(in, gapMinutes)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Gap-based sessionization (30-min inactivity closes a session).
     * Emits a session row when the gap timeout fires.
     */

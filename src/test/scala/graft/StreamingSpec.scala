@@ -132,4 +132,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(preKill > 0, "some window must finalize before the kill")
     assert(out.size === expected.size)
   }
+
+  test("sessionize file job: open per-user state survives kill + restart") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    new java.io.File(inDir).mkdirs()
+    def mts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    def writeBatch(name: String, evs: Seq[Event]): Unit = {
+      val stage = s"$base/stage-$name"
+      evs.toDS().toDF().coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles().find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$name.parquet"))
+    }
+
+    // open sessions for users 1 and 2, then KILL with both still open
+    writeBatch("b1", Seq(
+      Event(1, mts(0), 1, "a", 1.0), Event(2, mts(10), 1, "a", 1.0),
+      Event(3, mts(0), 2, "b", 1.0), Event(4, mts(5), 2, "b", 1.0)))
+    val q1 = EventStream.sessionizeFileJob(spark, inDir, outDir, ckDir)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // while down: user 1 returns after a 90-min gap — on restart the
+    // RECOVERED state must close the pre-kill session (start 0, 2 events)
+    writeBatch("b2", Seq(Event(5, mts(100), 1, "a", 1.0),
+      Event(6, mts(100), 99, "t", 0.0)))
+    val q2 = EventStream.sessionizeFileJob(spark, inDir, outDir, ckDir)
+    q2.processAllAvailable()
+    // watermark pushers so event-time timeouts fire for the rest
+    writeBatch("b3", Seq(Event(7, mts(400), 99, "t", 0.0)))
+    q2.processAllAvailable()
+    writeBatch("b4", Seq(Event(8, mts(500), 99, "t", 0.0)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select($"user_id", $"session_start", $"n_events", $"duration_sec")
+      .as[(Long, Timestamp, Long, Long)].collect().toSet
+      .filter(_._1 != 99L) // drop the watermark-ticker user's own sessions
+    val expected = Set(
+      (1L, mts(0), 2L, 600L),   // closed by the post-restart gap (recovered state)
+      (2L, mts(5 - 5), 2L, 300L).copy(_2 = mts(0)), // timeout-closed
+      (1L, mts(100), 1L, 0L))   // second session, timeout-closed
+    assert(out === expected, s"sessions:\n$out\nexpected:\n$expected")
+  }
 }
