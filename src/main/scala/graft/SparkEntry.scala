@@ -204,6 +204,27 @@ object SparkEntry {
           col("c_custkey"), col("o_orderkey"))
         .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
     }),
+    "q_multi_join" -> ((s, d) => {
+      // multi-join chain across data sources (region→nation→customer→
+      // orders), the OGR SQL multi-table join surface — broadcast dims,
+      // shuffle only on the fact side
+      t(s, d, "region").join(t(s, d, "nation"),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+    "q_random_fid" -> ((s, d) => {
+      // random access by FID: point lookups by key predicate — the driver
+      // reads exactly the matching rows (parquet row-group pruning)
+      t(s, d, "orders").filter(col("o_orderkey").isin(7L, 4135L, 14113L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+    "q_star_expansion" -> ((s, d) =>
+      // SELECT * expansion over a whole table (schema-ordered columns)
+      t(s, d, "region").select(col("*"))),
     "q_union_all" -> ((s, d) => {
       val a = t(s, d, "customer").select(col("c_custkey").as("id"),
         col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
@@ -1184,6 +1205,17 @@ object SparkEntry {
         |  CAST(floor(p_retailprice) AS BIGINT) AS price_i,
         |  p_brand || '#' || p_type AS label
         |FROM part""".stripMargin,
+    "q_multi_join" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_random_fid" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey IN (7, 4135, 14113)""".stripMargin,
+    "q_star_expansion" -> "SELECT * FROM region",
     "q_left_join_first" ->
       """SELECT c_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
