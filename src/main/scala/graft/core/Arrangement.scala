@@ -669,11 +669,46 @@ object Arrangement {
 
   /** Cascaded (n-way) union / dissolve: one region, nonzero winding with
     * normalized ring orientations (`ogrgeometry.cpp:3532` UnionCascaded).
+    *
+    * Inputs are first grouped into envelope-overlap connected components
+    * (like GEOS CascadedUnion's spatial clustering): disjoint components
+    * cannot interact, so each gets its OWN arrangement — and its own
+    * snapping grid scaled to ITS extent. A 1 mm feature a continent away
+    * from the rest therefore dissolves exactly instead of collapsing at
+    * a shared grid; the loud grid-collapse error remains only for
+    * features genuinely overlapping at extreme size ratios.
     */
   def unionCascaded(gs: Iterable[Geom]): Seq[GPolygon] = {
-    val bld = new Builder(1)
-    gs.foreach(g => bld.addGeomOriented(g, 0))
-    bld.result(w => w(0) != 0)
+    val items = gs.toIndexedSeq
+    if (items.isEmpty) return Seq.empty
+    val envs = items.map(_.envelope)
+    // union-find over envelope intersections
+    val parent = Array.tabulate(items.length)(identity)
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var i = 0
+    while (i < items.length) {
+      var j = i + 1
+      while (j < items.length) {
+        if (envs(i).intersects(envs(j))) {
+          val ri = find(i); val rj = find(j)
+          if (ri != rj) parent(ri) = rj
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val byComp = items.indices.groupBy(find)
+    byComp.valuesIterator.flatMap { idxs =>
+      val bld = new Builder(1)
+      idxs.foreach(k => bld.addGeomOriented(items(k), 0))
+      bld.result(w => w(0) != 0)
+    }.toSeq
   }
 
   /** Exact buffer of a polygon / multipolygon / line by distance `dist`

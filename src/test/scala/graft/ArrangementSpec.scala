@@ -167,11 +167,24 @@ class ArrangementSpec extends AnyFunSuite {
     assert(math.abs(area(Arrangement.overlay2(p, line, 1)) - 16.0) < 1e-6)
   }
 
-  test("grid-collapsed feature fails loudly instead of vanishing") {
+  test("component-wise dissolve: tiny feature far away keeps its own grid") {
+    // envelope-disjoint inputs get separate arrangements with their own
+    // snapping grids — both features survive exactly
     val tiny = sq(0, 0, 1e-6)
     val far = sq(100000, 100000, 10)
+    val out = Arrangement.unionCascaded(Seq(tiny, far))
+    assert(out.length === 2)
+    assert(math.abs(area(out) - (1e-12 + 100.0)) < 1e-4)
+    assert(out.map(GeomOps.area).min > 0.9e-12)
+  }
+
+  test("genuinely-overlapping extreme size ratio still fails loudly") {
+    // the tiny ring's envelope intersects the huge one → same component,
+    // shared grid → loud collapse error (not a silent drop)
+    val tiny = sq(50000, 50000, 1e-6)
+    val huge = sq(0, 0, 100000)
     val e = intercept[IllegalArgumentException] {
-      Arrangement.unionCascaded(Seq(tiny, far))
+      Arrangement.unionCascaded(Seq(tiny, huge))
     }
     assert(e.getMessage.contains("snapping grid"))
   }
