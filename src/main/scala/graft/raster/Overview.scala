@@ -85,6 +85,73 @@ object Overview {
     IStrip(s.stripIdx, s.yOff / 2, oh, ow, out)
   }
 
+  /** Complex-valued strip (interleaved-free: parallel re/im planes) —
+    * the engine's CFloat32 slice for overview building.
+    */
+  final case class CStrip(stripIdx: Int, yOff: Int, height: Int, width: Int,
+                          re: Array[Float], im: Array[Float])
+
+  /** AVERAGE_MAGPHASE 2× downsample of a complex strip — exact port of
+    * `gcore/overview.cpp:1867`: average the real and imaginary parts
+    * (float-cast, like the reference's float scanline), then rescale the
+    * averaged vector so its magnitude equals the AVERAGE of the source
+    * magnitudes (phases average through the vector sum, magnitude is
+    * preserved explicitly).
+    */
+  def downsampleComplexMagPhase(s: CStrip): CStrip = {
+    require(s.yOff % 2 == 0, s"strip yOff ${s.yOff} not 2-aligned")
+    val w = s.width
+    val ow = (w + 1) / 2
+    val oh = (s.height + 1) / 2
+    val ore = new Array[Float](ow * oh)
+    val oim = new Array[Float](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val x0 = ox * 2; val y0 = oy * 2
+        var totalR = 0.0; var totalI = 0.0; var totalM = 0.0
+        var count = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            if (x0 + dx < w && y0 + dy < s.height) {
+              val r = s.re((y0 + dy) * w + x0 + dx).toDouble
+              val i = s.im((y0 + dy) * w + x0 + dx).toDouble
+              totalR += r; totalI += i
+              totalM += math.sqrt(r * r + i * i)
+              count += 1
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        // float casts mirror the reference's float dst scanline exactly
+        var fr = (totalR / count).toFloat
+        var fi = (totalI / count).toFloat
+        val m = math.sqrt(fr.toDouble * fr + fi.toDouble * fi)
+        val desiredM = totalM / count
+        if (m != 0.0) {
+          val ratio = desiredM / m
+          fr = (fr * ratio).toFloat
+          fi = (fi * ratio).toFloat
+        }
+        ore(oy * ow + ox) = fr
+        oim(oy * ow + ox) = fi
+        ox += 1
+      }
+      oy += 1
+    }
+    CStrip(s.stripIdx, s.yOff / 2, oh, ow, ore, oim)
+  }
+
+  /** One complex pyramid level (shuffle-free map). */
+  def levelComplexMagPhase(strips: Dataset[CStrip]): Dataset[CStrip] = {
+    import strips.sparkSession.implicits._
+    strips.map(downsampleComplexMagPhase)
+  }
+
   /** One pyramid level over a strip Dataset (shuffle-free map). */
   def level(strips: Dataset[IStrip], r: Resampler): Dataset[IStrip] = {
     import strips.sparkSession.implicits._
