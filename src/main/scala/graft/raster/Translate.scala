@@ -77,6 +77,71 @@ object Translate {
     }
   }
 
+  /** `-projwin ulx uly lrx lry` (`apps/gdal_translate_lib.cpp:726`):
+    * georeferenced window → fractional source window through the (north-up,
+    * unrotated — same restriction as the reference) geotransform, output
+    * size `ceil(w−0.001) × ceil(h−0.001)` (`:877`), pixels sampled nearest
+    * at destination centers (the VRT SimpleSource convention the reference
+    * reads the fractional window with). Throws when the window has
+    * non-positive size, like the reference's "Verify source window".
+    *
+    * @return (windowed strips, output width, output height, output
+    *         geotransform anchored at the requested UL corner)
+    */
+  def projWin(strips: Dataset[IStrip], srcW: Int, srcH: Int,
+              gt: graft.core.GeoTransform,
+              ulx: Double, uly: Double, lrx: Double, lry: Double)
+      : (Dataset[IStrip], Int, Int, graft.core.GeoTransform) = {
+    require(gt.gt2 == 0.0 && gt.gt4 == 0.0,
+      "-projwin requires an unrotated geotransform (reference parity)")
+    val wx0 = (ulx - gt.gt0) / gt.gt1
+    val wy0 = (uly - gt.gt3) / gt.gt5
+    val ww = (lrx - ulx) / gt.gt1
+    val wh = (lry - uly) / gt.gt5
+    require(ww > 0 && wh > 0, s"-projwin window is empty ($ww x $wh px)")
+    val ow = math.ceil(ww - 0.001).toInt
+    val oh = math.ceil(wh - 0.001).toInt
+    import strips.sparkSession.implicits._
+    // dst (ox, oy) ← nearest src pixel at the dst-center position within
+    // the fractional window
+    val rows = strips.flatMap { s =>
+      val out = Seq.newBuilder[(Int, Int, Array[Int])] // (oy, sy, row)
+      var oy = 0
+      while (oy < oh) {
+        val sy = math.floor(wy0 + (oy + 0.5) * wh / oh).toInt
+        if (sy >= s.yOff && sy < s.yOff + s.height && sy >= 0 && sy < srcH) {
+          out += ((oy, sy, java.util.Arrays.copyOfRange(s.vals,
+            (sy - s.yOff) * s.width, (sy - s.yOff + 1) * s.width)))
+        }
+        oy += 1
+      }
+      out.result().iterator
+    }
+    val stripH = 256
+    val ds = rows.groupByKey(_._1 / stripH).mapGroups { (st, it) =>
+      val byOy: Map[Int, Array[Int]] = it.map(t => t._1 -> t._3).toMap
+      val y0 = st * stripH
+      val hh = math.min(stripH, oh - y0)
+      val out = new Array[Int](hh * ow)
+      var r = 0
+      while (r < hh) {
+        byOy.get(y0 + r).foreach { row =>
+          var ox = 0
+          while (ox < ow) {
+            val sx = math.floor(wx0 + (ox + 0.5) * ww / ow).toInt
+            if (sx >= 0 && sx < srcW) out(r * ow + ox) = row(sx)
+            ox += 1
+          }
+        }
+        r += 1
+      }
+      IStrip(st, y0, hh, ow, out)
+    }
+    val outGt = graft.core.GeoTransform(ulx, gt.gt1 * ww / ow, 0.0,
+      uly, 0.0, gt.gt5 * wh / oh)
+    (ds, ow, oh, outGt)
+  }
+
   /** `-outsize` nearest resize of the whole raster. Each DST strip gathers
     * the SRC rows it samples via a row-range overlap join (flatMap of src
     * rows to dst strips), so nothing is centralized.
