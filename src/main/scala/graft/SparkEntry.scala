@@ -873,6 +873,64 @@ object SparkEntry {
           round(gf.st_area(col("g2")), 4).as("area_r"))
     }),
 
+    "q_projwin" -> ((s, d) => {
+      import s.implicits._
+      // gdal_translate -projwin: pixel-aligned geo window == integer
+      // srcwin (closed-form SQL oracle over the synthetic value pattern)
+      val w = 20; val h = 12
+      val vals = Array.tabulate(w * h)(i => (i % w) * 100 + (i / w))
+      val strips = (0 until h by 4).zipWithIndex.map { case (y0, idx) =>
+        graft.raster.Overview.IStrip(idx, y0, 4, w,
+          java.util.Arrays.copyOfRange(vals, y0 * w, (y0 + 4) * w))
+      }.toDS()
+      val gt = graft.core.GeoTransform.northUp(500.0, 900.0, 10.0, 10.0)
+      val (ds, ow, _, _) = graft.raster.Translate.projWin(
+        strips, w, h, gt, 520, 880, 570, 840)
+      ds.flatMap { st =>
+        for (r <- 0 until st.height; c <- 0 until ow)
+          yield (c, st.yOff + r, st.vals(r * ow + c))
+      }.toDF("x", "y", "v")
+    }),
+    "q_overview_subst" -> ((s, d) => {
+      import s.implicits._
+      // overview substitution: a 2× decimated read served from the
+      // AVERAGE level — values follow the (total+2)/4 convention, oracled
+      // in closed form
+      val w = 16; val h = 8
+      val vals = Array.tabulate(w * h)(i => (i % w) * 7 + (i / w) * 3)
+      val base = (0 until h by 4).zipWithIndex.map { case (y0, idx) =>
+        graft.raster.Overview.IStrip(idx, y0, 4, w,
+          java.util.Arrays.copyOfRange(vals, y0 * w, (y0 + 4) * w))
+      }.toDS()
+      val lvl1 = graft.raster.Overview.level(base, graft.raster.Overview.Average)
+      val (out, used) = graft.raster.Overview.resizeWithPyramid(
+        base, w, h, Seq((lvl1, 8, 4)), 8, 4)
+      out.flatMap { st =>
+        for (r <- 0 until st.height; c <- 0 until st.width)
+          yield (c, st.yOff + r, st.vals(r * st.width + c), used)
+      }.toDF("x", "y", "v", "lvl")
+    }),
+    "q_complex_magphase" -> ((s, d) => {
+      import s.implicits._
+      // AVERAGE_MAGPHASE complex overview, oracled against an independent
+      // Python float32 port of overview.cpp:1867 (pinned VALUES)
+      val w = 8; val h = 4
+      val re = Array.tabulate(w * h)(i => (((i % w) * 37 % 23) - 11).toFloat / 3f)
+      val im = Array.tabulate(w * h)(i => ((((i % w) * 53 + (i / w) * 29) % 19) - 9).toFloat / 4f)
+      val strips = (0 until h by 2).zipWithIndex.map { case (y0, idx) =>
+        graft.raster.Overview.CStrip(idx, y0, 2, w,
+          java.util.Arrays.copyOfRange(re, y0 * w, (y0 + 2) * w),
+          java.util.Arrays.copyOfRange(im, y0 * w, (y0 + 2) * w))
+      }.toDS()
+      graft.raster.Overview.levelComplexMagPhase(strips)
+        .flatMap { st =>
+          for (r <- 0 until st.height; c <- 0 until st.width)
+            yield (c, st.yOff + r,
+              math.rint(st.re(r * st.width + c) * 1e4) / 1e4,
+              math.rint(st.im(r * st.width + c) * 1e4) / 1e4)
+        }.toDF("x", "y", "re_r", "im_r")
+    }),
+
     // ---------------- DEM family (distributed 3×3 over strips) ----------------
     "q_aspect" -> ((s, d) =>
       demEmit(graft.raster.Dem.aspect(s, demGridStrips(s, 9), 40, 30), "asp_r")),
@@ -1619,6 +1677,32 @@ object SparkEntry {
         |  ('pt_gml', '<gml:Point><gml:coordinates>1.5,2</gml:coordinates></gml:Point>',
         |   CAST(32.0 AS DOUBLE), CAST(16.0 AS DOUBLE)))
         |AS t(name, doc, json_area, gml_area)""".stripMargin,
+    "q_projwin" ->
+      // src pixels x 2..6, y 2..5 of v = x*100 + y
+      """SELECT x - 2 AS x, y - 2 AS y, CAST(x * 100 + y AS INTEGER) AS v
+        |FROM (SELECT unnest(generate_series(2, 6)) AS x),
+        |     (SELECT unnest(generate_series(2, 5)) AS y)""".stripMargin,
+    "q_overview_subst" ->
+      // AVERAGE block (total+2)/4 of v = x*7 + y*3 over 2x2 blocks:
+      // total = 4*(14x+3+6y)+... closed form: v(x,y)=2x*7+2y*3 grid:
+      // block sum = (14x)+(14x+7)+(14x+6y*... compute directly
+      """SELECT x, y,
+        |  CAST(((2*x*7 + y*2*3) + (2*x*7+7 + y*2*3) + (2*x*7 + (y*2+1)*3)
+        |        + (2*x*7+7 + (y*2+1)*3) + 2) // 4 AS INTEGER) AS v,
+        |  0 AS lvl
+        |FROM (SELECT unnest(generate_series(0, 7)) AS x),
+        |     (SELECT unnest(generate_series(0, 3)) AS y)""".stripMargin,
+    "q_complex_magphase" ->
+      """SELECT * FROM (VALUES
+        |  (0, 0, CAST(-2.6847 AS DOUBLE), CAST(-0.6292 AS DOUBLE)),
+        |  (1, 0, CAST(2.6453 AS DOUBLE), CAST(0.496 AS DOUBLE)),
+        |  (2, 0, CAST(-2.4185 AS DOUBLE), CAST(0.5771 AS DOUBLE)),
+        |  (3, 0, CAST(-0.7902 AS DOUBLE), CAST(-1.7781 AS DOUBLE)),
+        |  (0, 1, CAST(-2.7497 AS DOUBLE), CAST(-0.1289 AS DOUBLE)),
+        |  (1, 1, CAST(1.9704 AS DOUBLE), CAST(1.8472 AS DOUBLE)),
+        |  (2, 1, CAST(-2.4003 AS DOUBLE), CAST(-0.6546 AS DOUBLE)),
+        |  (3, 1, CAST(-1.5387 AS DOUBLE), CAST(-1.154 AS DOUBLE)))
+        |AS t(x, y, re_r, im_r)""".stripMargin,
     "q_dissolve" ->
       // closed-form dissolve: chain width (k−1)+1.4 = 2.4 + g%3 times
       // height 1+0.5g; group 5 = two disjoint unit squares
