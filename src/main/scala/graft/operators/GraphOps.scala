@@ -61,7 +61,15 @@ object GraphOps {
     *         for the reference's multimap insertion order)
     */
   def kShortestPaths(edges: DataFrame, src: Column, dst: Column, weight: Column,
-                     from: Long, to: Long, k: Int): DataFrame = {
+                     from: Long, to: Long, k: Int,
+                     maxEdges: Long = 5000000L): DataFrame = {
+    // the reference GNM also materializes the network in memory
+    // (`gnm/gnmgenericnetwork.cpp` builds the full graph); guard the
+    // driver collect LOUDLY so a 100× user gets an actionable error —
+    // shortestPaths/connectedComponents are the distributed siblings
+    require(edges.count() <= maxEdges,
+      s"kShortestPaths: edge list exceeds the driver cap ($maxEdges) — " +
+        "use shortestPaths (distributed) or raise maxEdges explicitly")
     val spark = edges.sparkSession
     import spark.implicits._
     val es = edges.select(src.cast("long"), dst.cast("long"), weight.cast("double"))

@@ -153,9 +153,18 @@ object GridInterp {
     */
   def linear(points: DataFrame, lon: Column, lat: Column, value: Column,
              queries: DataFrame, qid: Column, qlon: Column, qlat: Column,
-             noData: Double = 0.0): DataFrame = {
+             noData: Double = 0.0, maxSamples: Long = 2000000L): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    // the reference's GDALGridLinear also holds every sample in memory for
+    // one global triangulation; guard the collect LOUDLY so a 100× user
+    // gets an actionable error instead of a driver OOM (IDW/nearest are
+    // the distributed siblings for large sample sets)
+    val nSamples = points.count()
+    require(nSamples <= maxSamples,
+      s"GridInterp.linear: $nSamples samples exceed the driver-side " +
+        s"triangulation cap ($maxSamples) — use idw/nearest (distributed) " +
+        "or raise maxSamples explicitly")
     val collected = points.select(lon.cast("double"), lat.cast("double"),
       value.cast("double")).as[(Double, Double, Double)].collect()
     // dedupe by (x, y) keeping the first value — duplicate coordinates
