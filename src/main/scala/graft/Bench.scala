@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Per-round benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
   * flagship pipeline throughput (pages/sec). Prints ONE JSON line.
+  *
+  * Noise protocol (VERDICT r3 #1): the driver-captured artifact must be
+  * able to arbitrate real regressions on a noisy shared VM, so it
+  * embeds its own evidence:
+  *   - hardware probes run FIRST (ALU per-thread speed and DRAM
+  *     per-thread bandwidth at 8 and 32 busy threads, the same probes
+  *     ScalingBench uses) — `alu_ceiling`/`dram_ceiling` near the
+  *     quiet-window values in BENCH.md mean timings are comparable;
+  *     collapsed values mean the host was loaded and absolute times
+  *     are inflated;
+  *   - each query runs once for warmup (codegen+JIT) then N=3 timed
+  *     runs; the reported number is the MIN (steady-state claim), and
+  *     all three raw runs are embedded under "runs" so a skewed
+  *     distribution is visible in the artifact itself.
   */
 object Bench {
 
@@ -18,6 +32,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // --- hardware probe, before any Spark work: quantifies host noise ---
+    import graft.tools.ScalingBench.{hwPerThreadSpeed, memPerThreadSpeed}
+    val alu8 = hwPerThreadSpeed(8); val alu32 = hwPerThreadSpeed(32)
+    val mem8 = memPerThreadSpeed(8); val mem32 = memPerThreadSpeed(32)
+    val aluCeil = alu32 / alu8
+    val memCeil = mem32 / mem8
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,30 +52,34 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
-    // protocol: run each query twice, report the SECOND (steady-state)
-    // time — the first run pays one-off codegen compilation and JIT,
-    // which at this fixture scale dominates the signal and varies with
-    // ambient machine load
-    val results = headline.map { name =>
+    val nTimed = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val results: Seq[(String, Seq[Double])] = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      val t0 = System.nanoTime()
-      val secondOk =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name (timed run) FAILED: ${e.getMessage}")
-          false
-        }
-      // a query that fails on the measured run must not report a
-      // truncated elapsed time as if it were a fast success
-      val dt = if (secondOk) (System.nanoTime() - t0) / 1e9 else Double.NaN
-      // drop any blocks a query cached/checkpointed so later queries
-      // aren't measured under accumulated executor-memory pressure
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.gc() // reclaim codegen classes + shuffle buffers between
-                  // queries so later queries aren't timed mid-full-GC
-      name -> dt
+      def hygiene(): Unit = {
+        // drop any blocks a query cached/checkpointed so later runs
+        // aren't measured under accumulated executor-memory pressure,
+        // and reclaim codegen classes + shuffle buffers so runs aren't
+        // timed mid-full-GC
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+      }
+      try { fn(spark, sfDir).count(); hygiene() } // warmup (codegen + JIT)
+      catch { case e: Throwable => System.err.println(s"[bench] $name (warmup): ${e.getMessage}") }
+      val runs = (1 to nTimed).flatMap { i =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name (timed run $i) FAILED: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        hygiene()
+        // a failed run must not report a truncated elapsed time as if
+        // it were a fast success
+        if (ok) Some(dt) else None
+      }
+      name -> runs
     }
 
     // flagship pipeline throughput: pages/sec over a deterministic synthetic
@@ -70,18 +96,26 @@ object Bench {
     }
     val cfg = graft.jobs.Pipeline.Config(outDir = "", nBatches = 1)
     System.gc()
+    var outRows = 0L
     graft.jobs.Pipeline.transform(pages, zones, cfg).count() // warm
-    val t0 = System.nanoTime()
-    val outRows = graft.jobs.Pipeline.transform(pages, zones, cfg).count()
-    val pipeSec = (System.nanoTime() - t0) / 1e9
-    val pagesPerSec = nPages / pipeSec
+    val pipeRuns = (1 to nTimed).map { _ =>
+      val t0 = System.nanoTime()
+      outRows = graft.jobs.Pipeline.transform(pages, zones, cfg).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      dt
+    }
 
-    // failed timed runs (NaN) are omitted from the JSON rather than
-    // reported as a truncated "fast" timing; the failure is on stderr
-    val all = (results :+ ("pipeline" -> pipeSec)).filterNot(_._2.isNaN)
-    val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_pages":$nPages,"pipeline_out_rows":$outRows,"pages_per_sec":$pagesPerSec%.0f,"protocol":"second-run (steady-state; first run pays codegen+JIT)"}""")
+    val allRuns: Seq[(String, Seq[Double])] =
+      (results :+ ("pipeline" -> pipeRuns)).filter(_._2.nonEmpty)
+    val mins = allRuns.map { case (k, rs) => k -> rs.min }
+    val qs = mins.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val rawRuns = allRuns.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = mins.map(_._2).sum
+    val pagesPerSec = nPages / pipeRuns.min
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$rawRuns,"sf":"$sfDir","pipeline_pages":$nPages,"pipeline_out_rows":$outRows,"pages_per_sec":$pagesPerSec%.0f,"probe":{"alu_per_thread_8":$alu8%.0f,"alu_per_thread_32":$alu32%.0f,"alu_ceiling":$aluCeil%.3f,"dram_per_thread_8":$mem8%.0f,"dram_per_thread_32":$mem32%.0f,"dram_ceiling":$memCeil%.3f},"protocol":"min-of-$nTimed after 1 warmup; probe run before Spark start; quiet-window reference in BENCH.md"}""")
     spark.stop()
   }
 }

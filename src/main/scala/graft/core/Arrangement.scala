@@ -127,7 +127,14 @@ object Arrangement {
     var segs = segs0.filter(s => s.ax != s.bx || s.ay != s.by)
     var pass = 0
     var changed = true
-    while (changed && pass < 8) {
+    // Iterate to a fixed point (a pass that detects no pending split).
+    // Snap-rounding terminates because each split strictly shortens the
+    // pieces on the integer grid, but a pathological cascade could take
+    // many passes — cap generously and fail LOUDLY rather than proceed
+    // with unresolved crossings (a silent cap yields quietly wrong
+    // overlay topology; GEOS iterates to a fixed point too).
+    val maxPasses = 64
+    while (changed && pass < maxPasses) {
       changed = false
       pass += 1
       val splits = Array.fill(segs.length)(ArrayBuffer[(Long, Long)]())
@@ -301,6 +308,14 @@ object Arrangement {
         segs = next
       }
     }
+    // the loop only exits cleanly via a detection pass that found no
+    // pending split (changed == false); exiting on the cap means the
+    // last pass still split segments that were never re-checked
+    if (changed)
+      throw new IllegalStateException(
+        s"arrangement noding did not converge after $maxPasses passes " +
+          s"(${segs.length} segments still producing splits) — refusing to " +
+          "build an overlay with unresolved crossings")
     // merge coincident segments: net directed weight per region
     val merged = MHashMap[(Long, Long, Long, Long), Array[Int]]()
     segs.foreach { s0 =>

@@ -314,7 +314,14 @@ object Palette {
     // variant's orderBy(stripIdx) semantics exactly
     val ranks: Map[Int, Int] = {
       import spark.implicits._
-      strips.select("stripIdx").as[Int].collect().sorted.zipWithIndex.toMap
+      val idxs = strips.select("stripIdx").as[Int].collect().sorted
+      // duplicate stripIdx would collapse to one rank in the map, silently
+      // co-locating both strips in one partition where they'd be dithered
+      // from the same carried-in error line in arbitrary order
+      require(idxs.length == idxs.distinct.length,
+        s"ditherStripsChained: duplicate stripIdx values in input " +
+          s"(${idxs.length} strips, ${idxs.distinct.length} distinct)")
+      idxs.zipWithIndex.toMap
     }
     val n = ranks.size
     if (n == 0) return

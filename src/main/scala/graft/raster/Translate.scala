@@ -99,8 +99,19 @@ object Translate {
     val ww = (lrx - ulx) / gt.gt1
     val wh = (lry - uly) / gt.gt5
     require(ww > 0 && wh > 0, s"-projwin window is empty ($ww x $wh px)")
+    // reference parity ("Verify source window", gdal_translate_lib.cpp):
+    // a window entirely outside the raster is an error; a partial overlap
+    // is a warning and the uncovered area is fill-valued
+    require(wx0 + ww > 0 && wy0 + wh > 0 && wx0 < srcW && wy0 < srcH,
+      f"-projwin: computed source window $wx0%.1f $wy0%.1f $ww%.1f $wh%.1f " +
+        s"falls completely outside raster extent (${srcW}x$srcH)")
+    if (wx0 < 0 || wy0 < 0 || wx0 + ww > srcW || wy0 + wh > srcH)
+      System.err.println(
+        f"[translate] Warning: computed -srcwin $wx0%.1f $wy0%.1f $ww%.1f " +
+          f"$wh%.1f falls partially outside raster extent. Going on however.")
     val ow = math.ceil(ww - 0.001).toInt
     val oh = math.ceil(wh - 0.001).toInt
+    val stripH = 256
     import strips.sparkSession.implicits._
     // dst (ox, oy) ← nearest src pixel at the dst-center position within
     // the fractional window
@@ -117,9 +128,15 @@ object Translate {
       }
       out.result().iterator
     }
-    val stripH = 256
-    val ds = rows.groupByKey(_._1 / stripH).mapGroups { (st, it) =>
-      val byOy: Map[Int, Array[Int]] = it.map(t => t._1 -> t._3).toMap
+    // sentinel row (sy = -1) per dst strip block so a block whose rows all
+    // fall outside the source still materializes as a fill-valued IStrip
+    // instead of silently missing from the output
+    val nBlocks = (oh + stripH - 1) / stripH
+    val sentinels = strips.sparkSession
+      .createDataset((0 until nBlocks).map(b => (b * stripH, -1, Array.empty[Int])))
+    val ds = rows.union(sentinels).groupByKey(_._1 / stripH).mapGroups { (st, it) =>
+      val byOy: Map[Int, Array[Int]] =
+        it.filter(_._2 >= 0).map(t => t._1 -> t._3).toMap
       val y0 = st * stripH
       val hh = math.min(stripH, oh - y0)
       val out = new Array[Int](hh * ow)
