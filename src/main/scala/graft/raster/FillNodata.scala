@@ -135,12 +135,6 @@ object FillNodata {
   final case class FStrip(stripIdx: Int, yOff: Int, height: Int,
                           vals: Array[Float], valid: Array[Boolean])
 
-  /** Per-strip per-column valid-pixel extremes: (row, value) of the first
-    * and last valid pixel in each column (-1 row = none).
-    */
-  final case class ColState(stripIdx: Int, firstY: Array[Int], firstV: Array[Float],
-                            lastY: Array[Int], lastV: Array[Float])
-
   /** Distributed fill — exact result parity with [[fill]] on any strip
     * layout (asserted by FillNodataSpec).
     */
@@ -150,58 +144,60 @@ object FillNodata {
     val maxSearchDist = if (maxSearchDist0 == 0.0) math.max(w, h) + 1.0 else maxSearchDist0
     val nMaxSearchDist = math.floor(maxSearchDist).toInt
 
-    // Phase A: per-strip per-column summaries
-    val states = strips.map { s =>
-      val fy = Array.fill(w)(-1); val fv = new Array[Float](w)
-      val ly = Array.fill(w)(-1); val lv = new Array[Float](w)
+    // Phase A: per-strip per-column summaries, kept DISTRIBUTED. Each
+    // column's payload packs (row, floatBits(value)) into one Long: the
+    // down payload is the LAST valid pixel (propagates to later strips),
+    // the up payload the FIRST valid pixel (propagates to earlier strips).
+    val cols = strips.map { s =>
+      val first = Array.fill(w)(StripScan.Absent)
+      val last = Array.fill(w)(StripScan.Absent)
       var r = 0
       while (r < s.height) {
         var x = 0
         while (x < w) {
           if (s.valid(r * w + x)) {
             val gy = s.yOff + r
-            if (fy(x) == -1) { fy(x) = gy; fv(x) = s.vals(r * w + x) }
-            ly(x) = gy; lv(x) = s.vals(r * w + x)
+            val packed = (gy.toLong << 32) |
+              (java.lang.Float.floatToRawIntBits(s.vals(r * w + x)).toLong & 0xffffffffL)
+            if (first(x) == StripScan.Absent) first(x) = packed
+            last(x) = packed
           }
           x += 1
         }
         r += 1
       }
-      ColState(s.stripIdx, fy, fv, ly, lv)
-    }.collect().sortBy(_.stripIdx)
+      StripScan.StripCols(s.stripIdx, last, first)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Phase B: prefix (nearest valid above) / suffix (nearest valid below)
-    val nStrips = states.length
-    val aboveY = new Array[Array[Int]](nStrips)
-    val aboveV = new Array[Array[Float]](nStrips)
-    val belowY = new Array[Array[Int]](nStrips)
-    val belowV = new Array[Array[Float]](nStrips)
-    val runY = Array.fill(w)(-1); val runV = new Array[Float](w)
-    for (k <- 0 until nStrips) {
-      aboveY(k) = runY.clone(); aboveV(k) = runV.clone()
-      var x = 0
-      while (x < w) {
-        if (states(k).lastY(x) != -1) { runY(x) = states(k).lastY(x); runV(x) = states(k).lastV(x) }
-        x += 1
-      }
-    }
-    java.util.Arrays.fill(runY, -1)
-    for (k <- nStrips - 1 to 0 by -1) {
-      belowY(k) = runY.clone(); belowV(k) = runV.clone()
-      var x = 0
-      while (x < w) {
-        if (states(k).firstY(x) != -1) { runY(x) = states(k).firstY(x); runV(x) = states(k).firstV(x) }
-        x += 1
-      }
-    }
-    val incoming: Map[Int, (Array[Int], Array[Float], Array[Int], Array[Float])] =
-      (0 until nStrips).map(k => states(k).stripIdx ->
-        ((aboveY(k), aboveV(k), belowY(k), belowV(k)))).toMap
-    val incB = spark.sparkContext.broadcast(incoming)
+    // Phase B: distributed prefix (nearest valid above) / suffix (nearest
+    // valid below) per column — two shuffles, nothing on the driver
+    val incoming = StripScan.scan(spark, cols, w).localCheckpoint(true)
+    cols.unpersist(false)
 
-    // Phase C: per-strip materialization + quadrant interpolation
-    strips.map { s =>
-      val (inAY, inAV, inBY, inBV) = incB.value(s.stripIdx)
+    // Phase C: per-strip materialization + quadrant interpolation (the
+    // incoming arrays arrive via cogroup on stripIdx)
+    strips.groupByKey(_.stripIdx)
+      .cogroup(incoming.groupByKey(_.stripIdx)) { (_, sIt, iIt) =>
+      val inc = if (iIt.hasNext) Some(iIt.next()) else None
+      sIt.map { s =>
+      val inAY = Array.fill(w)(-1); val inAV = new Array[Float](w)
+      val inBY = Array.fill(w)(-1); val inBV = new Array[Float](w)
+      inc.foreach { in =>
+        var x = 0
+        while (x < w) {
+          val a = in.above(x)
+          if (a != StripScan.Absent) {
+            inAY(x) = (a >> 32).toInt
+            inAV(x) = java.lang.Float.intBitsToFloat(a.toInt)
+          }
+          val b = in.below(x)
+          if (b != StripScan.Absent) {
+            inBY(x) = (b >> 32).toInt
+            inBV(x) = java.lang.Float.intBitsToFloat(b.toInt)
+          }
+          x += 1
+        }
+      }
       val hh = s.height
       // true nearest valid at-or-above each row (unchecked distance)
       val upY = new Array[Int](hh * w); val upV = new Array[Float](hh * w)
@@ -298,6 +294,7 @@ object FillNodata {
         r += 1
       }
       s.copy(vals = out)
+      }
     }
   }
 }

@@ -16,11 +16,11 @@ import graft.raster.Dem.DStrip
   *
   *  1. vertical phase — per column, the nearest target row above/below
   *     each pixel. Within a strip this is two linear scans; across strips
-  *     only the per-column min/max target row of each strip is exchanged
-  *     (O(strips·width) summaries, prefix/suffix-combined — the same
-  *     boundary-row layout as polygonize Phase B). No target pixel list is
-  *     ever collected: a raster whose target class covers half its pixels
-  *     costs the same O(strips·width) coordination as a sparse one.
+  *     only the per-column min/max target row of each strip is exchanged,
+  *     prefix/suffix-combined in a distributed column-block scan
+  *     ([[StripScan]] — two shuffles, nothing on the driver). No target
+  *     pixel list is ever collected: a raster whose target class covers
+  *     half its pixels costs the same coordination as a sparse one.
   *  2. horizontal phase — per row, the 1D lower-envelope-of-parabolas
   *     pass (Felzenszwalb–Huttenlocher) over the squared vertical
   *     distances. Entirely row-local, embarrassingly parallel per strip.
@@ -159,9 +159,6 @@ object Proximity {
     d
   }
 
-  /** Per-strip per-column target-row extremes (global y; -1 = none). */
-  final case class ColSummary(stripIdx: Int, minRow: Array[Int], maxRow: Array[Int])
-
   /** @param targetValues pixel values considered targets
     * @param maxDist cap; farther pixels get `noData`
     * @param pixelDist distance per pixel step (1.0 = DISTUNITS=PIXEL;
@@ -172,57 +169,47 @@ object Proximity {
                 noData: Double = 65535.0, pixelDist: Double = 1.0): Dataset[DStrip] = {
     import spark.implicits._
 
-    // Phase A: O(strips·width) per-column summaries
-    val summaries = strips.map { s =>
-      val mn = Array.fill(w)(-1)
-      val mx = Array.fill(w)(-1)
+    // Phase A: per-strip per-column target-row extremes, kept DISTRIBUTED
+    // (down payload = max target row, propagates to later strips; up
+    // payload = min target row, propagates to earlier strips)
+    val cols = strips.map { s =>
+      val mn = Array.fill(w)(StripScan.Absent)
+      val mx = Array.fill(w)(StripScan.Absent)
       var r = 0
       while (r < s.height) {
         var c = 0
         while (c < s.width) {
           if (targetValues.contains(s.vals(r * s.width + c))) {
             val gy = s.yOff + r
-            if (mn(c) == -1) mn(c) = gy
-            mx(c) = gy
+            if (mn(c) == StripScan.Absent) mn(c) = gy.toLong
+            mx(c) = gy.toLong
           }
           c += 1
         }
         r += 1
       }
-      ColSummary(s.stripIdx, mn, mx)
-    }.collect().sortBy(_.stripIdx)
-    require(summaries.exists(_.minRow.exists(_ != -1)) || summaries.isEmpty,
+      StripScan.StripCols(s.stripIdx, mx, mn)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nStrips = cols.count()
+    require(nStrips == 0 ||
+      !cols.filter(_.down.exists(_ != StripScan.Absent)).isEmpty,
       "proximity: no target pixels")
 
-    // prefix/suffix combine: nearest target row strictly above / below each strip
-    val nStrips = summaries.length
-    val aboveOf = new Array[Array[Int]](nStrips) // max target row in strips < k
-    val belowOf = new Array[Array[Int]](nStrips) // min target row in strips > k
-    val runAbove = Array.fill(w)(-1)
-    for (k <- 0 until nStrips) {
-      aboveOf(k) = runAbove.clone()
-      var c = 0
-      while (c < w) {
-        if (summaries(k).maxRow(c) != -1) runAbove(c) = summaries(k).maxRow(c)
-        c += 1
-      }
-    }
-    val runBelow = Array.fill(w)(-1)
-    for (k <- nStrips - 1 to 0 by -1) {
-      belowOf(k) = runBelow.clone()
-      var c = 0
-      while (c < w) {
-        if (summaries(k).minRow(c) != -1) runBelow(c) = summaries(k).minRow(c)
-        c += 1
-      }
-    }
-    val incoming: Map[Int, (Array[Int], Array[Int])] =
-      (0 until nStrips).map(k => summaries(k).stripIdx -> ((aboveOf(k), belowOf(k)))).toMap
-    val incomingB = spark.sparkContext.broadcast(incoming)
+    // distributed prefix/suffix scan: nearest target row strictly
+    // above/below each strip, per column — never on the driver
+    // (materialized eagerly so the cols cache can be dropped)
+    val incoming = StripScan.scan(spark, cols, w).localCheckpoint(true)
+    cols.unpersist(false)
 
     // Phase B: per-strip vertical scans + row-local 1D EDT
-    strips.map { s =>
-      val (above, below) = incomingB.value(s.stripIdx)
+    val result = strips.groupByKey(_.stripIdx)
+      .cogroup(incoming.groupByKey(_.stripIdx)) { (_, sIt, iIt) =>
+      val inc = if (iIt.hasNext) Some(iIt.next()) else None
+      sIt.map { s =>
+      val above = inc.map(_.above.map(v => if (v == StripScan.Absent) -1 else v.toInt))
+        .getOrElse(Array.fill(w)(-1))
+      val below = inc.map(_.below.map(v => if (v == StripScan.Absent) -1 else v.toInt))
+        .getOrElse(Array.fill(w)(-1))
       val hh = s.height
       val dvert2 = new Array[Double](w * hh) // squared vertical distance
       // downward scan: nearest target at or above each pixel
@@ -274,6 +261,8 @@ object Proximity {
         r += 1
       }
       DStrip(s.stripIdx, s.yOff, hh, out)
+      }
     }
+    result
   }
 }

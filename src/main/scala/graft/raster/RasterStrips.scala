@@ -22,9 +22,10 @@ import graft.core.{Geom, GeoTransform}
   *    is the memory knob (default targets ~8 MiB byte strips);
   *  - checksum is an order-insensitive partial-sum aggregate (see
   *    [[Checksum]]), so verification needs no global sort;
-  *  - polygonize runs the sequential enumerator per strip, unions
-  *    components across strip boundaries with a driver-side union-find over
-  *    boundary rows only (O(strips·width), not O(pixels)), then groups edge
+  *  - polygonize runs the sequential enumerator per strip, matches
+  *    components across strip boundaries in an adjacent-boundary shuffle
+  *    ([[BoundaryMerge]]: the driver collects only deduped equivalence
+  *    pairs, O(#boundary components), never pixel rows), then groups edge
   *    segments by global polygon id — the classic 2-phase distributed
   *    connected-components layout.
   */
@@ -112,11 +113,6 @@ object RasterStrips {
     */
   final case class ValueStrip(stripIdx: Int, yOff: Int, height: Int, vals: Array[Int])
 
-  final case class StripSummary(
-      stripIdx: Int, nIds: Int,
-      topVals: Array[Int], topIds: Array[Int],
-      botVals: Array[Int], botIds: Array[Int])
-
   final case class SegOut(globalId: Long, value: Int, x1: Int, y1: Int, x2: Int, y2: Int)
 
   /** Run pass-1 locally over a strip; return (enumerator, per-row final ids
@@ -156,66 +152,29 @@ object RasterStrips {
     // extraction): persist so upstream lineage evaluates once
     val strips = strips0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Phase A: per-strip pass 1 → boundary summaries (small)
-    val summaries = strips.map { s =>
+    // Phase A: per-strip pass 1 → boundary summaries (distributed — the
+    // driver sees only (stripIdx, nIds) counts and deduped equivalence
+    // pairs, never pixel rows)
+    val summariesDs = strips.map { s =>
       val (en, topIds, botIds) = localPass1(s, w, conn)
       val topVals = java.util.Arrays.copyOfRange(s.vals, 0, w)
       val botVals = java.util.Arrays.copyOfRange(s.vals, (s.height - 1) * w, s.height * w)
-      StripSummary(s.stripIdx, en.nNextPolygonId, topVals, topIds, botVals, botIds)
-    }.collect().sortBy(_.stripIdx)
+      BoundaryMerge.BoundarySummary(s.stripIdx, en.nNextPolygonId,
+        topVals, topIds, botVals, botIds)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Phase B: driver union-find across strip boundaries
-    val base = new Array[Long](summaries.length + 1)
-    summaries.zipWithIndex.foreach { case (s, i) => base(i + 1) = base(i) + s.nIds }
-    val parent = new scala.collection.mutable.HashMap[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    def union(a: Long, b: Long): Unit = {
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    var k = 0
-    while (k < summaries.length - 1) {
-      val lo = summaries(k); val hi = summaries(k + 1)
-      var x = 0
-      while (x < w) {
-        val v = lo.botVals(x)
-        if (v != Polygonize.NoDataMarker) {
-          if (hi.topVals(x) == v)
-            union(base(k) + lo.botIds(x), base(k + 1) + hi.topIds(x))
-          if (conn == 8) {
-            if (x > 0 && hi.topVals(x - 1) == v)
-              union(base(k) + lo.botIds(x), base(k + 1) + hi.topIds(x - 1))
-            if (x < w - 1 && hi.topVals(x + 1) == v)
-              union(base(k) + lo.botIds(x), base(k + 1) + hi.topIds(x + 1))
-          }
-        }
-        x += 1
-      }
-      k += 1
-    }
-    val roots: Map[Long, Long] = parent.keys.map(x => x -> find(x)).toMap
-    val rootsB = spark.sparkContext.broadcast(roots)
-    val baseB = spark.sparkContext.broadcast(base)
-    // previous strip's bottom row global ids for the halo pass
-    val prevBotGlobal: Map[Int, (Array[Int], Array[Long])] =
-      summaries.iterator.map { s =>
-        val g = s.botIds.map(id => if (id == -1) -1L else {
-          val gid = base(s.stripIdx) + id
-          roots.getOrElse(gid, gid)
-        })
-        (s.stripIdx + 1) -> ((s.botVals, g))
-      }.toMap
-    val prevBotB = spark.sparkContext.broadcast(prevBotGlobal)
+    // Phase B: adjacent-boundary shuffle → pairs → driver union-find
+    val merged = BoundaryMerge.merge(spark, summariesDs, w, conn)
+    val rootsB = spark.sparkContext.broadcast(merged.roots)
+    val baseB = spark.sparkContext.broadcast(merged.base)
 
-    // Phase C: per-strip segment extraction with global ids
-    val lastStripIdx = summaries.length - 1
-    val segs = strips.flatMap { s =>
+    // Phase C: per-strip segment extraction with global ids; the previous
+    // strip's bottom-row halo arrives via cogroup, not a driver broadcast
+    val lastStripIdx = merged.base.length - 2
+    val segs = strips.groupByKey(_.stripIdx)
+      .cogroup(merged.halos.groupByKey(_.stripIdx)) { (_, sIt, hIt) =>
+      val halo = if (hIt.hasNext) Some(hIt.next()) else None
+      sIt.flatMap { s =>
       val myBase = baseB.value(s.stripIdx)
       val rootMap = rootsB.value
       @inline def global(localFinal: Int): Long = {
@@ -233,10 +192,10 @@ object RasterStrips {
       val thisIdLocal = Array.fill(w + 2)(-1)
       var lastRow: Array[Int] = null
       // halo: previous strip's bottom row (values + global ids)
-      prevBotB.value.get(s.stripIdx).foreach { case (vals, gids) =>
+      halo.foreach { hl =>
         var x = 0
-        while (x < w) { lastG(x + 1) = gids(x); x += 1 }
-        lastRow = vals
+        while (x < w) { lastG(x + 1) = hl.gids(x); x += 1 }
+        lastRow = hl.vals
       }
       val lastIdLocal = Array.fill(w + 2)(-1)
       var prevLocalRow: Array[Int] = null
@@ -299,6 +258,7 @@ object RasterStrips {
           }
         }
       }.toVector
+      }
     }
 
     // Phase D: group segments by polygon, coalesce rings, emit WKB
@@ -312,6 +272,7 @@ object RasterStrips {
       }
       .toDF("value", "wkb")
       .localCheckpoint(true) // materialize, then release the strip cache
+    summariesDs.unpersist(false)
     strips.unpersist(false)
     out
   }

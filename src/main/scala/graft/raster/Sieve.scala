@@ -148,10 +148,6 @@ object Sieve {
     out
   }
 
-  final case class StripCC(stripIdx: Int, nIds: Int,
-                           topVals: Array[Int], topIds: Array[Int],
-                           botVals: Array[Int], botIds: Array[Int])
-
   /** One component's partial stats within a strip. */
   final case class CompPart(gid: Long, size: Int, value: Int)
 
@@ -180,9 +176,10 @@ object Sieve {
 
   /** Distributed sieve over strips — the genuinely-parallel layout:
     *
-    *  A. per-strip CC (enumerator) → boundary-row summaries ONLY
-    *     (O(strips·width) on the driver — never per-component arrays);
-    *  B. driver union-find over strip-boundary rows → global roots;
+    *  A. per-strip CC (enumerator) → boundary summaries, kept DISTRIBUTED;
+    *  B. adjacent-boundary shuffle emits deduped equivalence pairs; the
+    *     driver union-find consumes O(#boundary components) pairs plus one
+    *     count per strip, never pixel rows ([[BoundaryMerge]]);
     *  C. global component sizes/values as a DataFrame AGGREGATION of
     *     per-strip partials (map-side combined, never driver-collected);
     *  D. biggest-neighbour selection as an argmax AGGREGATION: the
@@ -190,68 +187,29 @@ object Sieve {
     *     first-encountered maximum in (y, x, sub) scan order, which equals
     *     argmax over (neighbour size, −first-encounter position) — a
     *     groupBy, not a driver replay of the pair stream;
-    *  E. driver chain-walk over SMALL polygons only (the rewrite map is
-    *     exactly this big anyway — it must ship to executors regardless);
-    *  F. per-strip rewrite with the broadcast (global id → new value) map.
+    *  E. distributed pointer-doubling over the small-polygon pointer graph;
+    *  F. per-strip rewrite: the (global id → new value) table is broadcast
+    *     when small, else shipped per-strip via a shuffle join on stripIdx
+    *     (salt-and-pepper noise makes #small ≈ pixels/2 — too big to
+    *     materialize on the driver).
     */
   def sieve(spark: SparkSession, strips: Dataset[IStrip], w: Int, h: Int,
-            threshold: Int, conn: Int): Dataset[IStrip] = {
+            threshold: Int, conn: Int,
+            bcastRewriteLimit: Long = 4000000L): Dataset[IStrip] = {
     import spark.implicits._
 
-    // A: per-strip CC boundary summaries
-    val summaries = strips.map { s =>
+    // A: per-strip CC boundary summaries (distributed)
+    val summariesDs = strips.map { s =>
       val (en, topIds, botIds) = localCC(s.vals, w, s.height, conn)
-      StripCC(s.stripIdx, en.nNextPolygonId,
+      BoundaryMerge.BoundarySummary(s.stripIdx, en.nNextPolygonId,
         java.util.Arrays.copyOfRange(s.vals, 0, w), topIds,
         java.util.Arrays.copyOfRange(s.vals, (s.height - 1) * w, s.height * w), botIds)
-    }.collect().sortBy(_.stripIdx)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // B: driver union-find across boundaries
-    val base = new Array[Long](summaries.length + 1)
-    summaries.zipWithIndex.foreach { case (s, i) => base(i + 1) = base(i) + s.nIds }
-    val parent = new scala.collection.mutable.HashMap[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    def union(a: Long, b: Long): Unit = {
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    var k = 0
-    while (k < summaries.length - 1) {
-      val lo = summaries(k); val hi = summaries(k + 1)
-      var x = 0
-      while (x < w) {
-        val v = lo.botVals(x)
-        if (v != Polygonize.NoDataMarker) {
-          if (hi.topVals(x) == v) union(base(k) + lo.botIds(x), base(k + 1) + hi.topIds(x))
-          if (conn == 8) {
-            if (x > 0 && hi.topVals(x - 1) == v)
-              union(base(k) + lo.botIds(x), base(k + 1) + hi.topIds(x - 1))
-            if (x < w - 1 && hi.topVals(x + 1) == v)
-              union(base(k) + lo.botIds(x), base(k + 1) + hi.topIds(x + 1))
-          }
-        }
-        x += 1
-      }
-      k += 1
-    }
-    val roots: Map[Long, Long] = parent.keys.map(x => x -> find(x)).toMap
-    val rootsB = spark.sparkContext.broadcast(roots)
-    val baseB = spark.sparkContext.broadcast(base)
-    val prevBotGlobal: Map[Int, (Array[Int], Array[Long])] =
-      summaries.iterator.map { s =>
-        val g = s.botIds.map(id => if (id == -1) -1L else {
-          val gid = base(s.stripIdx) + id
-          roots.getOrElse(gid, gid)
-        })
-        (s.stripIdx + 1) -> ((s.botVals, g))
-      }.toMap
-    val prevBotB = spark.sparkContext.broadcast(prevBotGlobal)
+    // B: boundary pairs shuffle → driver union-find over pairs only
+    val merged = BoundaryMerge.merge(spark, summariesDs, w, conn)
+    val rootsB = spark.sparkContext.broadcast(merged.roots)
+    val baseB = spark.sparkContext.broadcast(merged.base)
 
     // C: global component sizes/values — distributed aggregation of
     // per-strip partials (one CompPart row per local component)
@@ -288,8 +246,12 @@ object Sieve {
       .agg(sum(col("size")).cast("int").as("gsize"), first(col("value")).as("gvalue"))
       .localCheckpoint(true)
 
-    // D: scan-ordered effective neighbour pair occurrences (distributed)
-    val pairs = strips.flatMap { s =>
+    // D: scan-ordered effective neighbour pair occurrences (distributed);
+    // the previous strip's bottom-row halo arrives via cogroup
+    val pairs = strips.groupByKey(_.stripIdx)
+      .cogroup(merged.halos.groupByKey(_.stripIdx)) { (_, sIt, hIt) =>
+      val halo = if (hIt.hasNext) Some(hIt.next()) else None
+      sIt.flatMap { s =>
       val myBase = baseB.value(s.stripIdx)
       val rMap = rootsB.value
       @inline def global(localFinal: Int): Long = {
@@ -301,9 +263,7 @@ object Sieve {
       val out = Seq.newBuilder[NeighborPair]
       var lastG: Array[Long] = null
       var lastRowVals: Array[Int] = null
-      prevBotB.value.get(s.stripIdx).foreach { case (vals2, gids) =>
-        lastG = gids; lastRowVals = vals2
-      }
+      halo.foreach { hl => lastG = hl.gids; lastRowVals = hl.vals }
       var lastId = new Array[Int](w); var thisId = new Array[Int](w)
       var prevLocalRow: Array[Int] = null
       var r = 0
@@ -336,6 +296,7 @@ object Sieve {
         r += 1
       }
       out.result().iterator
+      }
     }
 
     // biggest-neighbour argmax: first-encountered maximum in scan order
@@ -389,42 +350,78 @@ object Sieve {
       active = f.filter(col("next").isNotNull && col("res").isNull).count()
       ptrIter += 1
     }
-    val rewrite = f
+    val rewriteDF = f
       .filter(col("res").isNotNull && col("gvalue") =!= Polygonize.NoDataMarker)
-      .select(col("gid"), col("res"))
-      .as[(Long, Int)].collect().toMap
+      .select(col("gid"), col("res").cast("int").as("res"))
+      .localCheckpoint(eager = true)
     f.unpersist()
-    val rewriteB = spark.sparkContext.broadcast(rewrite)
 
-    // E: per-strip rewrite
-    strips.map { s =>
-      val myBase = baseB.value(s.stripIdx)
-      val rMap = rootsB.value
-      val rw = rewriteB.value
-      val (en1, _, _) = localCC(s.vals, w, s.height, conn)
-      val en2 = new Polygonize.Enumerator(conn)
-      val out = s.vals.clone()
-      var lastId = new Array[Int](w); var thisId = new Array[Int](w)
-      var prevLocalRow: Array[Int] = null
-      var r = 0
-      while (r < s.height) {
-        val row = java.util.Arrays.copyOfRange(s.vals, r * w, (r + 1) * w)
-        en2.processLine(prevLocalRow, row, lastId, thisId, 0, 0, w)
-        var x = 0
-        while (x < w) {
-          val raw = thisId(x)
-          if (raw >= 0) {
-            val gid = myBase + en1.polyIdMap(raw)
+    // F: per-strip rewrite. The resolved (gid → value) table is applied
+    // via broadcast when it fits, else via a shuffle join on stripIdx so
+    // it never materializes on the driver (salt-and-pepper noise makes
+    // #small components ≈ pixels/2).
+    val nRewrites = rewriteDF.count()
+    val out =
+      if (nRewrites <= bcastRewriteLimit) {
+        val rw = rewriteDF.as[(Long, Int)].collect().toMap
+        val rewriteB = spark.sparkContext.broadcast(rw)
+        strips.map(s => rewriteStrip(s, w, conn, baseB.value, rootsB.value,
+          rewriteB.value))
+      } else {
+        // per-strip (root gid) inventory → join with the rewrite table →
+        // group the strip's own rewrite entries back to it
+        val stripRoots = strips.flatMap { s =>
+          val myBase = baseB.value(s.stripIdx)
+          val rMap = rootsB.value
+          val (en, _, _) = localCC(s.vals, w, s.height, conn)
+          val seen = new java.util.HashSet[Long]()
+          (0 until en.nNextPolygonId).iterator.flatMap { fId =>
+            val gid = myBase + fId
             val root = rMap.getOrElse(gid, gid)
-            rw.get(root).foreach(v => out(r * w + x) = v)
+            if (seen.add(root)) Iterator((root, s.stripIdx)) else Iterator.empty
           }
-          x += 1
-        }
-        val t = lastId; lastId = thisId; thisId = t
-        prevLocalRow = row
-        r += 1
+        }.toDF("gid", "stripIdx")
+        val byStrip = stripRoots.join(rewriteDF, "gid")
+          .select(col("stripIdx"), col("gid"), col("res"))
+          .as[(Int, Long, Int)]
+        strips.groupByKey(_.stripIdx)
+          .cogroup(byStrip.groupByKey(_._1)) { (_, sIt, rIt) =>
+            val rw: Map[Long, Int] = rIt.map(t => t._2 -> t._3).toMap
+            sIt.map(s => rewriteStrip(s, w, conn, baseB.value, rootsB.value, rw))
+          }
       }
-      s.copy(vals = out)
+    summariesDs.unpersist(false)
+    out
+  }
+
+  /** Apply a (root gid → replacement value) map to one strip. */
+  private def rewriteStrip(s: IStrip, w: Int, conn: Int, base: Array[Long],
+                           rMap: Map[Long, Long],
+                           rw: scala.collection.Map[Long, Int]): IStrip = {
+    val myBase = base(s.stripIdx)
+    val (en1, _, _) = localCC(s.vals, w, s.height, conn)
+    val en2 = new Polygonize.Enumerator(conn)
+    val out = s.vals.clone()
+    var lastId = new Array[Int](w); var thisId = new Array[Int](w)
+    var prevLocalRow: Array[Int] = null
+    var r = 0
+    while (r < s.height) {
+      val row = java.util.Arrays.copyOfRange(s.vals, r * w, (r + 1) * w)
+      en2.processLine(prevLocalRow, row, lastId, thisId, 0, 0, w)
+      var x = 0
+      while (x < w) {
+        val raw = thisId(x)
+        if (raw >= 0) {
+          val gid = myBase + en1.polyIdMap(raw)
+          val root = rMap.getOrElse(gid, gid)
+          rw.get(root).foreach(v => out(r * w + x) = v)
+        }
+        x += 1
+      }
+      val t = lastId; lastId = thisId; thisId = t
+      prevLocalRow = row
+      r += 1
     }
+    s.copy(vals = out)
   }
 }
