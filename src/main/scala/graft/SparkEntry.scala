@@ -752,6 +752,51 @@ object SparkEntry {
         r(gf.st_x(g)).as("x_r"), r(gf.st_y(g)).as("y_r"))
     }),
 
+    "q_transform_srs" -> ((s, d) => {
+      import s.implicits._
+      // arbitrary SRS front-end (core/SrsParse.scala — importFromProj4/
+      // importFromWkt parity slice): CRSes defined by PROJ.4 strings and
+      // WKT1, none of them in the EPSG dispatch table. Oracle = pinned
+      // VALUES from the independent Python port (gen_proj_oracle.py --srs).
+      val gk3 = "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 " +
+        "+ellps=intl +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"
+      val spcs = "+proj=lcc +lat_1=34.0333 +lat_2=35.4666 +lat_0=33.5 " +
+        "+lon_0=-118 +x_0=2000000 +y_0=500000 +ellps=GRS80"
+      val gls = "+proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 +x_0=0 +y_0=0 +ellps=WGS84"
+      val naa = "+proj=aea +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96 +x_0=0 +y_0=0 +ellps=clrk66"
+      val nalaea = "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 +ellps=WGS84"
+      val bngwkt = """PROJCS["BNG",GEOGCS["OSGB36",DATUM["OSGB_1936",""" +
+        """SPHEROID["Airy 1830",6377563.396,299.3249646],""" +
+        """TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894]],""" +
+        """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+        """PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],""" +
+        """PARAMETER["scale_factor",0.9996012717],""" +
+        """PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],""" +
+        """UNIT["metre",1]]"""
+      val pts = Seq(
+        (1L, "gk3", gk3, 9.18, 48.78),
+        (2L, "gk3", gk3, 11.58, 48.14),
+        (3L, "spcs", spcs, -118.24, 34.05),
+        (4L, "spcs", spcs, -119.70, 34.42),
+        (5L, "gls", gls, -39.0, 72.0),
+        (6L, "gls", gls, -51.7, 64.18),
+        (7L, "naa", naa, -96.0, 40.0),
+        (8L, "naa", naa, -75.16, 39.95),
+        (9L, "nalaea", nalaea, -100.0, 45.0),
+        (10L, "nalaea", nalaea, -122.33, 47.61),
+        (11L, "bngwkt", bngwkt, -0.1276, 51.5072),
+        (12L, "bngwkt", bngwkt, -3.1883, 55.9533))
+        .toDF("pid", "tag", "dst_srs", "px", "py")
+      val g = gf.st_transform_srs(gf.st_point(col("px"), col("py")),
+        lit("EPSG:4326"), col("dst_srs"))
+      // + 0.0 folds any −0.0 from points on the projection center lines
+      // into the oracle's literal 0.0 (IEEE: −0.0 + 0.0 = +0.0)
+      def r(c: Column): Column = round(c, 4) + lit(0.0)
+      pts.select(col("pid"), col("tag"),
+        r(gf.st_x(g)).as("x_r"), r(gf.st_y(g)).as("y_r"))
+    }),
+
     "q_warp_utm" -> ((s, d) => {
       import s.implicits._
       // reprojection through the general CRS engine: 20×20 closed-form
@@ -1659,6 +1704,23 @@ object SparkEntry {
         |  (CAST(20 AS BIGINT), CAST(5070 AS INTEGER), CAST(0.0 AS DOUBLE), CAST(1326800.7964 AS DOUBLE)),
         |  (CAST(21 AS BIGINT), CAST(5070 AS INTEGER), CAST(-2019412.2893 AS DOUBLE), CAST(1457943.8761 AS DOUBLE)))
         |AS t(pid, epsg, x_r, y_r)""".stripMargin,
+    "q_transform_srs" ->
+      // pinned from tools/gen_proj_oracle.py --srs (independent Python
+      // port; custom PROJ.4/WKT CRSes outside the EPSG dispatch table)
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'gk3', CAST(3513306.3899 AS DOUBLE), CAST(5405553.1999 AS DOUBLE)),
+        |  (CAST(2 AS BIGINT), 'gk3', CAST(3692108.6 AS DOUBLE), CAST(5337582.5562 AS DOUBLE)),
+        |  (CAST(3 AS BIGINT), 'spcs', CAST(1977840.751 AS DOUBLE), CAST(561035.7933 AS DOUBLE)),
+        |  (CAST(4 AS BIGINT), 'spcs', CAST(1843740.0688 AS DOUBLE), CAST(603372.1335 AS DOUBLE)),
+        |  (CAST(5 AS BIGINT), 'gls', CAST(0.0 AS DOUBLE), CAST(-1971339.5158 AS DOUBLE)),
+        |  (CAST(6 AS BIGINT), 'gls', CAST(-626990.1657 AS DOUBLE), CAST(-2782174.7804 AS DOUBLE)),
+        |  (CAST(7 AS BIGINT), 'naa', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |  (CAST(8 AS BIGINT), 'naa', CAST(1662981.9942 AS DOUBLE), CAST(177633.3241 AS DOUBLE)),
+        |  (CAST(9 AS BIGINT), 'nalaea', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |  (CAST(10 AS BIGINT), 'nalaea', CAST(-1652141.9882 AS DOUBLE), CAST(522531.3308 AS DOUBLE)),
+        |  (CAST(11 AS BIGINT), 'bngwkt', CAST(530043.1979 AS DOUBLE), CAST(180358.2087 AS DOUBLE)),
+        |  (CAST(12 AS BIGINT), 'bngwkt', CAST(325897.2215 AS DOUBLE), CAST(674001.2019 AS DOUBLE)))
+        |AS t(pid, tag, x_r, y_r)""".stripMargin,
     "q_warp_utm" -> {
       // pinned from tools/gen_proj_oracle.py --warp (independent
       // PROJ.4-style tmerc inverse; row-major dx-fastest)

@@ -493,7 +493,9 @@ object Proj {
     * meters for projected).
     */
   def transformPoint(src: Crs, dst: Crs, x: Double, y: Double): (Double, Double) = {
-    if (src.epsg == dst.epsg) return (x, y)
+    // epsg 0 marks a parsed (PROJ.4/WKT) definition with no authority code —
+    // two such CRSes are not necessarily identical
+    if (src.epsg == dst.epsg && src.epsg != 0) return (x, y)
     val (lonS, latS) = src.proj.inverse(x, y)
     val (lonD, latD) =
       if (src.toWgs84 == dst.toWgs84) (lonS, latS) // same datum: skip shift

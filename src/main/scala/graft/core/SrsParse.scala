@@ -1,0 +1,278 @@
+package graft.core
+
+import Proj._
+
+/** SRS definition front-end: parse PROJ.4 strings (`+proj=tmerc +lat_0=…`)
+  * and OGC WKT1 (`PROJCS[…]`) into [[Proj.Crs]] parameters for the
+  * existing projection kernels — the engine's slice of
+  * `OGRSpatialReference::importFromProj4` / `importFromWkt`
+  * (`/root/reference/gdal/ogr/ogr_srs_proj4.cpp`,
+  * `ogr_srs_xml.cpp`; consumed by OGRProj4CT, `gdal/ogr/ogrct.cpp:122`).
+  *
+  * Supported projections are exactly the kernel set: longlat, utm, tmerc,
+  * lcc (2SP; 1SP only when it degenerates to lat_1=lat_2 with k=1), stere
+  * in the polar aspect, laea, aea. Datum handling: +towgs84 / TOWGS84[…]
+  * 3- or 7-parameter Helmert, +datum={WGS84,NAD83,OSGB36}, named WKT
+  * datums with a TOWGS84 node. Anything else fails loudly.
+  */
+object SrsParse {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Crs]()
+
+  /** Dispatch on the definition shape: `EPSG:n` / bare integer → the EPSG
+    * table; leading `+` → PROJ.4; `PROJCS[`/`GEOGCS[` → WKT1.
+    */
+  def parse(defn: String): Crs = {
+    val key = defn.trim
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val crs =
+      if (key.toUpperCase.startsWith("EPSG:"))
+        byEpsg(key.substring(5).trim.toInt).getOrElse(
+          throw new IllegalArgumentException(s"unknown EPSG code in '$key'"))
+      else if (key.forall(_.isDigit) && key.nonEmpty)
+        byEpsg(key.toInt).getOrElse(
+          throw new IllegalArgumentException(s"unknown EPSG code $key"))
+      else if (key.startsWith("+")) fromProj4(key)
+      else if (key.toUpperCase.startsWith("PROJCS") ||
+               key.toUpperCase.startsWith("GEOGCS")) fromWkt(key)
+      else throw new IllegalArgumentException(
+        s"unrecognized SRS definition: '${key.take(60)}'")
+    cache.put(key, crs)
+    crs
+  }
+
+  // ------------------------------------------------------------- PROJ.4
+
+  private val namedEllipsoids: Map[String, Ellipsoid] = Map(
+    "wgs84" -> WGS84, "grs80" -> GRS80, "airy" -> Airy1830,
+    "intl" -> Intl1924, "clrk66" -> Clarke1866)
+
+  def fromProj4(s: String): Crs = {
+    val kv = scala.collection.mutable.Map[String, String]()
+    s.trim.split("\\s+").foreach { tok =>
+      if (tok.startsWith("+")) {
+        val body = tok.substring(1)
+        val eq = body.indexOf('=')
+        if (eq >= 0) kv(body.substring(0, eq).toLowerCase) = body.substring(eq + 1)
+        else kv(body.toLowerCase) = ""
+      }
+    }
+    def num(k: String, default: Double): Double =
+      kv.get(k).map(_.toDouble).getOrElse(default)
+    def numOpt(k: String): Option[Double] = kv.get(k).map(_.toDouble)
+
+    // ellipsoid: explicit +a/+rf|+b|+f > +ellps > +datum implication > WGS84
+    val datum = kv.get("datum").map(_.toLowerCase)
+    val ell: Ellipsoid = (numOpt("a"), kv.get("ellps")) match {
+      case (Some(a), _) =>
+        val invF = numOpt("rf").orElse(numOpt("f").map(f => if (f == 0) 0.0 else 1.0 / f))
+          .orElse(numOpt("b").map(b => if (b == a) 0.0 else a / (a - b)))
+          .getOrElse(0.0)
+        Ellipsoid(a, invF)
+      case (None, Some(name)) =>
+        namedEllipsoids.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"unknown +ellps=$name " +
+            s"(supported: ${namedEllipsoids.keys.mkString(", ")})"))
+      case (None, None) => datum match {
+        case Some("nad83") => GRS80
+        case Some("osgb36") => Airy1830
+        case _ => WGS84
+      }
+    }
+
+    // datum shift to WGS84: +towgs84 wins, then +datum, else none
+    val toWgs84: Option[Helmert] = kv.get("towgs84") match {
+      case Some(v) =>
+        val p = v.split(",").map(_.trim.toDouble)
+        require(p.length == 3 || p.length == 7,
+          s"+towgs84 needs 3 or 7 parameters, got ${p.length}")
+        val h =
+          if (p.length == 3) Helmert(p(0), p(1), p(2), 0, 0, 0, 0)
+          else Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
+        if (p.forall(_ == 0.0)) None else Some(h)
+      case None => datum match {
+        case Some("osgb36") => Some(Osgb36ToWgs84)
+        case _ => None // WGS84 / NAD83 / unspecified: no shift
+      }
+    }
+
+    kv.get("units").foreach { u =>
+      require(u == "m" || u == "meter" || u == "metre",
+        s"only meter units supported, got +units=$u")
+    }
+
+    val proj = kv.getOrElse("proj",
+      throw new IllegalArgumentException("missing +proj="))
+    val p: Projection = proj match {
+      case "longlat" | "latlong" | "latlon" | "lonlat" => Geographic(ell)
+      case "utm" =>
+        val zone = numOpt("zone").getOrElse(
+          throw new IllegalArgumentException("+proj=utm needs +zone=")).toInt
+        require(zone >= 1 && zone <= 60, s"bad UTM zone $zone")
+        val south = kv.contains("south")
+        TMerc(ell, zone * 6 - 183, 0, 0.9996, 500000, if (south) 10000000 else 0)
+      case "tmerc" =>
+        TMerc(ell, num("lon_0", 0), num("lat_0", 0),
+          numOpt("k").orElse(numOpt("k_0")).getOrElse(1.0),
+          num("x_0", 0), num("y_0", 0))
+      case "lcc" =>
+        val lat1 = numOpt("lat_1").getOrElse(
+          throw new IllegalArgumentException("+proj=lcc needs +lat_1="))
+        val lat2 = num("lat_2", lat1)
+        val k0 = numOpt("k").orElse(numOpt("k_0")).getOrElse(1.0)
+        require(k0 == 1.0 || lat1 == lat2,
+          "lcc with a scale factor (1SP variant with k0≠1) is unsupported")
+        require(k0 == 1.0, "lcc +k_0≠1 unsupported")
+        Lcc2SP(ell, lat1, lat2, num("lat_0", 0), num("lon_0", 0),
+          num("x_0", 0), num("y_0", 0))
+      case "stere" =>
+        val lat0 = num("lat_0", 90)
+        require(math.abs(lat0) >= 90 - 1e-9,
+          s"+proj=stere: only the polar aspect is supported (lat_0=$lat0)")
+        val south = lat0 < 0
+        val latTs = numOpt("lat_ts").getOrElse(lat0)
+        PolarStereo(ell, latTs, num("lon_0", 0),
+          numOpt("k").orElse(numOpt("k_0")).getOrElse(1.0),
+          num("x_0", 0), num("y_0", 0), south)
+      case "laea" =>
+        Laea(ell, num("lat_0", 0), num("lon_0", 0), num("x_0", 0), num("y_0", 0))
+      case "aea" =>
+        Aea(ell, num("lat_1", 29.5), num("lat_2", 45.5),
+          num("lat_0", 0), num("lon_0", 0), num("x_0", 0), num("y_0", 0))
+      case other => throw new IllegalArgumentException(
+        s"+proj=$other unsupported (supported: longlat utm tmerc lcc stere laea aea)")
+    }
+    Crs(0, p, toWgs84)
+  }
+
+  // --------------------------------------------------------------- WKT1
+
+  /** WKT node: NAME[arg, arg, …] where arg = quoted string | number | node. */
+  private final case class WNode(name: String, args: Vector[Any]) {
+    def children(n: String): Vector[WNode] =
+      args.collect { case c: WNode if c.name.equalsIgnoreCase(n) => c }
+    def child(n: String): Option[WNode] = children(n).headOption
+    def str(i: Int): String = args(i).asInstanceOf[String]
+    def dbl(i: Int): Double = args(i) match {
+      case d: Double => d
+      case s: String => s.toDouble
+      case o => throw new IllegalArgumentException(s"expected number, got $o")
+    }
+  }
+
+  private def parseWktNode(s: String, pos0: Int): (WNode, Int) = {
+    var pos = pos0
+    def skipWs(): Unit = while (pos < s.length && (s(pos).isWhitespace || s(pos) == ',')) pos += 1
+    skipWs()
+    val nameStart = pos
+    while (pos < s.length && (s(pos).isLetterOrDigit || s(pos) == '_')) pos += 1
+    val name = s.substring(nameStart, pos)
+    skipWs()
+    require(pos < s.length && s(pos) == '[', s"expected [ after $name at $pos")
+    pos += 1
+    val args = Vector.newBuilder[Any]
+    var done = false
+    while (!done) {
+      skipWs()
+      if (pos >= s.length) throw new IllegalArgumentException("unterminated WKT")
+      s(pos) match {
+        case ']' => pos += 1; done = true
+        case '"' =>
+          val end = s.indexOf('"', pos + 1)
+          require(end > 0, "unterminated string in WKT")
+          args += s.substring(pos + 1, end)
+          pos = end + 1
+        case c if c.isLetter =>
+          val (child, np) = parseWktNode(s, pos)
+          args += child
+          pos = np
+        case _ =>
+          val numEnd = {
+            var e = pos
+            while (e < s.length && "+-.eE0123456789".indexOf(s(e)) >= 0) e += 1
+            e
+          }
+          args += s.substring(pos, numEnd).toDouble
+          pos = numEnd
+      }
+    }
+    (WNode(name, args.result()), pos)
+  }
+
+  def fromWkt(s: String): Crs = {
+    val (root, _) = parseWktNode(s.trim, 0)
+    root.name.toUpperCase match {
+      case "GEOGCS" =>
+        val (ell, toWgs) = geogcsDatum(root)
+        Crs(authorityOf(root), Geographic(ell), toWgs)
+      case "PROJCS" => projcs(root)
+      case other => throw new IllegalArgumentException(s"unsupported WKT root $other")
+    }
+  }
+
+  private def authorityOf(n: WNode): Int =
+    n.child("AUTHORITY").filter(_.args.length >= 2)
+      .flatMap(a => scala.util.Try(a.str(1).toInt).toOption).getOrElse(0)
+
+  private def geogcsDatum(geogcs: WNode): (Ellipsoid, Option[Helmert]) = {
+    val datum = geogcs.child("DATUM").getOrElse(
+      throw new IllegalArgumentException("GEOGCS without DATUM"))
+    val sph = datum.child("SPHEROID").orElse(datum.child("ELLIPSOID")).getOrElse(
+      throw new IllegalArgumentException("DATUM without SPHEROID"))
+    val ell = Ellipsoid(sph.dbl(1), sph.dbl(2))
+    val toWgs = datum.child("TOWGS84") match {
+      case Some(t) =>
+        val p = t.args.collect { case d: Double => d }
+        val full = p.padTo(7, 0.0)
+        if (full.forall(_ == 0.0)) None
+        else Some(Helmert(full(0), full(1), full(2), full(3), full(4), full(5), full(6)))
+      case None =>
+        val dn = datum.str(0).toUpperCase
+        if (dn.contains("OSGB")) Some(Osgb36ToWgs84) else None
+    }
+    (ell, toWgs)
+  }
+
+  private def projcs(projcs: WNode): Crs = {
+    val geogcs = projcs.child("GEOGCS").getOrElse(
+      throw new IllegalArgumentException("PROJCS without GEOGCS"))
+    val (ell, toWgs) = geogcsDatum(geogcs)
+    val projName = projcs.child("PROJECTION").map(_.str(0)).getOrElse(
+      throw new IllegalArgumentException("PROJCS without PROJECTION"))
+    val params: Map[String, Double] = projcs.children("PARAMETER")
+      .map(p => p.str(0).toLowerCase -> p.dbl(1)).toMap
+    def pr(k: String, default: Double): Double = params.getOrElse(k, default)
+    def prAny(ks: Seq[String], default: Double): Double =
+      ks.collectFirst { case k if params.contains(k) => params(k) }.getOrElse(default)
+    projcs.child("UNIT").foreach { u =>
+      require(math.abs(u.dbl(1) - 1.0) < 1e-12,
+        s"only meter units supported in PROJCS (got ${u.str(0)})")
+    }
+    val fe = pr("false_easting", 0); val fn = pr("false_northing", 0)
+    val p: Projection = projName.toLowerCase match {
+      case "transverse_mercator" =>
+        TMerc(ell, pr("central_meridian", 0), pr("latitude_of_origin", 0),
+          pr("scale_factor", 1.0), fe, fn)
+      case "lambert_conformal_conic_2sp" | "lambert_conformal_conic" =>
+        val lat1 = prAny(Seq("standard_parallel_1"), pr("latitude_of_origin", 0))
+        Lcc2SP(ell, lat1, pr("standard_parallel_2", lat1),
+          prAny(Seq("latitude_of_origin", "latitude_of_center"), 0),
+          prAny(Seq("central_meridian", "longitude_of_center"), 0), fe, fn)
+      case "polar_stereographic" =>
+        val lat0 = prAny(Seq("latitude_of_origin", "standard_parallel_1"), 90)
+        PolarStereo(ell, lat0, prAny(Seq("central_meridian", "longitude_of_origin"), 0),
+          pr("scale_factor", 1.0), fe, fn, south = lat0 < 0)
+      case "lambert_azimuthal_equal_area" =>
+        Laea(ell, prAny(Seq("latitude_of_center", "latitude_of_origin"), 0),
+          prAny(Seq("longitude_of_center", "central_meridian"), 0), fe, fn)
+      case "albers_conic_equal_area" =>
+        Aea(ell, pr("standard_parallel_1", 29.5), pr("standard_parallel_2", 45.5),
+          prAny(Seq("latitude_of_center", "latitude_of_origin"), 0),
+          prAny(Seq("longitude_of_center", "central_meridian"), 0), fe, fn)
+      case other => throw new IllegalArgumentException(
+        s"""unsupported PROJECTION["$other"]""")
+    }
+    Crs(authorityOf(projcs), p, toWgs)
+  }
+}

@@ -202,6 +202,23 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "st_transform"
 }
 
+/** st_transform_srs(wkb, src_srs, dst_srs) — SRS defs as strings (PROJ.4,
+  * WKT1, or "EPSG:n"), parsed once and cached by [[GeoRt.transformSrs]].
+  */
+case class StTransformSrs(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, s: Any, d: Any): Any =
+    GeoRt.transformSrs(b.asInstanceOf[Array[Byte]], s.toString, d.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, s, d) =>
+      s"graft.expr.GeoRt.transformSrs($b, $s.toString(), $d.toString())")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_transform_srs"
+}
+
 /** cell_of(lon, lat, res) — the H3/S2-style cell id (batched, codegen'd:
   * the north rule's "H3/S2-encoded via a batched codegen'd expression").
   */

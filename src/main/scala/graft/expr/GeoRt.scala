@@ -158,7 +158,12 @@ object GeoRt {
               "UTM 326xx/327xx/258xx, 27700, 2154, 3413, 3031, 5041, 5042, 3035)")
         }
     }
-    def tx(g: Geom): Geom = g match {
+    Geom.toWkb(mapCoords(decode(wkb), fn))
+  }
+
+  /** Apply a coordinate map to every vertex of a geometry. */
+  private def mapCoords(g: Geom, fn: (Double, Double) => (Double, Double)): Geom =
+    g match {
       case p: GPoint => val (nx, ny) = fn(p.x, p.y); p.copy(x = nx, y = ny)
       case l: GLine =>
         val out = new Array[Double](l.xy.length)
@@ -167,9 +172,22 @@ object GeoRt {
           val (nx, ny) = fn(l.x(i), l.y(i)); out(2 * i) = nx; out(2 * i + 1) = ny; i += 1
         }
         GLine(out, l.z, l.m)
-      case p: GPolygon => GPolygon(p.rings.map(r => tx(r).asInstanceOf[GLine]))
-      case m: GMulti => GMulti(m.multiKind, m.geoms.map(tx))
+      case p: GPolygon =>
+        GPolygon(p.rings.map(r => mapCoords(r, fn).asInstanceOf[GLine]))
+      case m: GMulti => GMulti(m.multiKind, m.geoms.map(mapCoords(_, fn)))
     }
-    Geom.toWkb(tx(decode(wkb)))
+
+  /** st_transform_srs: arbitrary SRS definitions (PROJ.4 string, WKT1, or
+    * "EPSG:n") through [[graft.core.SrsParse]] — the engine's
+    * `importFromProj4`/`importFromWkt` front-end
+    * (`gdal/ogr/ogrct.cpp:122` OGRProj4CT over parsed OGRSpatialReference).
+    * Parses are cached, so per-row cost is the projection math only.
+    */
+  def transformSrs(wkb: Array[Byte], srcSrs: String, dstSrs: String): Array[Byte] = {
+    if (srcSrs == dstSrs) return wkb
+    val src = graft.core.SrsParse.parse(srcSrs)
+    val dst = graft.core.SrsParse.parse(dstSrs)
+    Geom.toWkb(mapCoords(decode(wkb),
+      (x, y) => graft.core.Proj.transformPoint(src, dst, x, y)))
   }
 }

@@ -40,6 +40,8 @@ object gf {
     col(StTransform(x(g), x(lit(srcSrid)), x(lit(dstSrid))))
   def st_transform(g: Column, srcSrid: Column, dstSrid: Column): Column =
     col(StTransform(x(g), x(srcSrid.cast("int")), x(dstSrid.cast("int"))))
+  def st_transform_srs(g: Column, srcSrs: Column, dstSrs: Column): Column =
+    col(StTransformSrs(x(g), x(srcSrs.cast("string")), x(dstSrs.cast("string"))))
 
   // ---- constructive ops ----
   def st_buffer(g: Column, dist: Column): Column = col(StBuffer(x(g), x(dist.cast("double"))))
@@ -152,6 +154,7 @@ object gf {
     r1("st_contains_point", es => StContainsPoint(es(0), d(es(1)), d(es(2))))
     r1("st_intersects_point", es => StIntersectsPoint(es(0), d(es(1)), d(es(2))))
     r1("st_transform", es => StTransform(es(0), i(es(1)), i(es(2))))
+    r1("st_transform_srs", es => StTransformSrs(es(0), es(1), es(2)))
     r1("cell_of", es => CellOf(d(es(0)), d(es(1)), i(es(2))))
     r1("cells_covering", es => CellsCovering(es(0), i(es(1))))
     r1("geo_extract", es => GeoExtract(es.head))

@@ -132,6 +132,11 @@ object Smoke {
       "select st_x(st_transform(st_point(3.0, 0.0), 4326, 32631))")
       .head().getDouble(0)
     assert(math.abs(utmX - 500000.0) < 1e-6, s"st_transform UTM SQL $utmX")
+    val srsX = spark.sql(
+      "select st_x(st_transform_srs(st_point(3.0, 0.0), 'EPSG:4326', " +
+        "'+proj=utm +zone=31 +ellps=WGS84'))")
+      .head().getDouble(0)
+    assert(math.abs(srsX - 500000.0) < 1e-6, s"st_transform_srs SQL $srsX")
 
     // geojson/gml codec surface
     val gj = spark.sql(

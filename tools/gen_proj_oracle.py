@@ -19,6 +19,8 @@ ELL = {
     "wgs84": (6378137.0, 298.257223563),
     "grs80": (6378137.0, 298.257222101),
     "airy": (6377563.396, 299.3249646),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.978698214),
 }
 
 
@@ -475,8 +477,84 @@ def warp_rows():
     return out
 
 
+# --- custom (non-EPSG-table) SRS oracle for q_transform_srs -----------
+# Each entry mirrors a PROJ.4-string / WKT definition the Scala SrsParse
+# front-end must produce; kernels here remain the independent PROJ.4-style
+# formulations, so agreement cross-validates parser + kernels together.
+INTL_H = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+SRS_CUSTOM = {
+    # +proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0 +ellps=intl
+    #   +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7  (GK zone 3 style)
+    "gk3": ("intl", TMerc("intl", 9, 0, 1.0, 3500000, 0), INTL_H),
+    # +proj=lcc +lat_1=34.0333 +lat_2=35.4666 +lat_0=33.5 +lon_0=-118
+    #   +x_0=2000000 +y_0=500000 +ellps=GRS80  (state-plane CA-5 style)
+    "spcs": ("grs80", Lcc("grs80", 34.0333, 35.4666, 33.5, -118,
+                          2000000, 500000), None),
+    # +proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 +ellps=WGS84
+    "gls": ("wgs84", PolarStereo("wgs84", 71, -39, 1.0, 0, 0, False), None),
+    # +proj=aea +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96 +x_0=0 +y_0=0
+    #   +ellps=clrk66  (NA Albers on Clarke 1866)
+    "naa": ("clrk66", Aea("clrk66", 20, 60, 40, -96, 0, 0), None),
+    # +proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 +ellps=WGS84
+    "nalaea": ("wgs84", Laea("wgs84", 45, -100, 0, 0), None),
+    # WKT PROJCS Transverse_Mercator on airy with TOWGS84 (BNG definition
+    # spelled as WKT rather than an EPSG code)
+    "bngwkt": ("airy", TMerc("airy", -2, 49, 0.9996012717, 400000, -100000),
+               OSGB_H),
+}
+
+
+def srs_transform(dst_key, lon, lat):
+    de, dp, dh = SRS_CUSTOM[dst_key]
+    if dh is not None:
+        a, es = es_of("wgs84")
+        gx, gy, gz = geod_to_xyz(a, es, math.radians(lon), math.radians(lat))
+        gx, gy, gz = helmert_inv(dh, gx, gy, gz)
+        a2, es2 = es_of(de)
+        lonr, latr = xyz_to_geod(a2, es2, gx, gy, gz)
+        return dp.fwd(lonr, latr)
+    return dp.fwd(math.radians(lon), math.radians(lat))
+
+
+SRS_POINTS = [
+    (1, "gk3", 9.18, 48.78),        # Stuttgart in GK3
+    (2, "gk3", 11.58, 48.14),       # Munich
+    (3, "spcs", -118.24, 34.05),    # Los Angeles in CA-5-style LCC
+    (4, "spcs", -119.70, 34.42),    # Santa Barbara
+    (5, "gls", -39.0, 72.0),        # central Greenland PS
+    (6, "gls", -51.7, 64.18),       # Nuuk
+    (7, "naa", -96.0, 40.0),        # Albers center
+    (8, "naa", -75.16, 39.95),      # Philadelphia
+    (9, "nalaea", -100.0, 45.0),    # LAEA center
+    (10, "nalaea", -122.33, 47.61), # Seattle
+    (11, "bngwkt", -0.1276, 51.5072),  # London via WKT BNG
+    (12, "bngwkt", -3.1883, 55.9533),  # Edinburgh
+]
+
+
+def srs_rows():
+    out = []
+    for pid, key, lon, lat in SRS_POINTS:
+        x, y = srs_transform(key, lon, lat)
+        out.append((pid, key, x, y))
+    return out
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "--tsv"
+    if mode == "--srs":
+        print("SELECT * FROM (VALUES")
+        body = ",\n".join(
+            f"  (CAST({pid} AS BIGINT), '{key}', "
+            f"CAST({round(x, 4)} AS DOUBLE), CAST({round(y, 4)} AS DOUBLE))"
+            for pid, key, x, y in srs_rows())
+        print(body)
+        print(") AS t(pid, tag, x_r, y_r)")
+        sys.exit(0)
+    if mode == "--srs-tsv":
+        for pid, key, x, y in srs_rows():
+            print(f"{pid}\t{key}\t{x!r}\t{y!r}")
+        sys.exit(0)
     if mode == "--warp":
         ws = warp_rows()
         print("SELECT * FROM (VALUES")
