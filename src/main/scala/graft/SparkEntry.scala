@@ -976,6 +976,50 @@ object SparkEntry {
         }.toDF("x", "y", "re_r", "im_r")
     }),
 
+    "q_translate_complex" -> ((s, d) => {
+      import s.implicits._
+      import graft.raster.ComplexPixels
+      import graft.raster.ComplexPixels._
+      // complex pixel family through -ot casts / checksum / statistics
+      // (gcore/gdal.h:66-69; GDALCopyWordsComplexT/ComplexOutT casts,
+      // real-component stats per gdalrasterband.cpp:3718-3731, interleaved
+      // checksum per gdalchecksum.cpp:92). Oracle = pinned VALUES from the
+      // independent Python recomputation (tools/gen_complex_oracle.py).
+      val w = 37; val h = 23; val stripH = 5
+      // 1.5/2.25 multiples are float32-exact, so CFloat32 storage is lossless
+      val re = Array.tabulate(w * h)(i =>
+        (((i % w) * 31 + (i / w) * 17) % 23 * 1.5f - 7.0f).toDouble)
+      val im = Array.tabulate(w * h)(i =>
+        (((i % w) * 13 + (i / w) * 29) % 19 * -2.25f + 3.0f).toDouble)
+      val strips = (0 until h by stripH).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(stripH, h - y0)
+        CPlane(idx, y0, hh, w,
+          java.util.Arrays.copyOfRange(re, y0 * w, (y0 + hh) * w),
+          java.util.Arrays.copyOfRange(im, y0 * w, (y0 + hh) * w))
+      }.toDS().persist()
+      val csF32 = ComplexPixels.checksum(strips, TCFloat32)
+      val asCInt16 = ComplexPixels.convert(strips, TCFloat32, TCInt16)
+        .persist()
+      val csCInt16 = ComplexPixels.checksum(asCInt16, TCInt16)
+      val asInt16 = ComplexPixels.convert(strips, TCFloat32, TInt16)
+      val csReal16 = ComplexPixels.checksum(asInt16, TInt16)
+      val promoted = ComplexPixels.convert(
+        ComplexPixels.convert(strips, TCFloat32, TInt16), TInt16, TCInt32)
+      val csPromoted = ComplexPixels.checksum(promoted, TCInt32)
+      val st = ComplexPixels.stats(strips)
+      strips.unpersist(false); asCInt16.unpersist(false)
+      def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+      Seq(
+        ("cs_cfloat32", csF32.toDouble),
+        ("cs_cint16", csCInt16.toDouble),
+        ("cs_real_int16", csReal16.toDouble),
+        ("cs_cint32_promoted", csPromoted.toDouble),
+        ("stat_min", r6(st.min)),
+        ("stat_max", r6(st.max)),
+        ("stat_mean", r6(st.mean)),
+        ("stat_std", r6(st.std))).toDF("metric", "value")
+    }),
+
     // ---------------- DEM family (distributed 3×3 over strips) ----------------
     "q_aspect" -> ((s, d) =>
       demEmit(graft.raster.Dem.aspect(s, demGridStrips(s, 9), 40, 30), "asp_r")),
@@ -1754,6 +1798,20 @@ object SparkEntry {
         |  0 AS lvl
         |FROM (SELECT unnest(generate_series(0, 7)) AS x),
         |     (SELECT unnest(generate_series(0, 3)) AS y)""".stripMargin,
+    "q_translate_complex" ->
+      // pinned from tools/gen_complex_oracle.py (independent Python
+      // recomputation of the CopyWords complex casts, interleaved
+      // checksum, and real-component statistics)
+      """SELECT * FROM (VALUES
+        |  ('cs_cfloat32', CAST(63067.0 AS DOUBLE)),
+        |  ('cs_cint16', CAST(63325.0 AS DOUBLE)),
+        |  ('cs_real_int16', CAST(5630.0 AS DOUBLE)),
+        |  ('cs_cint32_promoted', CAST(5828.0 AS DOUBLE)),
+        |  ('stat_min', CAST(-7.0 AS DOUBLE)),
+        |  ('stat_max', CAST(26.0 AS DOUBLE)),
+        |  ('stat_mean', CAST(9.5 AS DOUBLE)),
+        |  ('stat_std', CAST(9.949874 AS DOUBLE))
+        |) AS t(metric, value)""".stripMargin,
     "q_complex_magphase" ->
       """SELECT * FROM (VALUES
         |  (0, 0, CAST(-2.6847 AS DOUBLE), CAST(-0.6292 AS DOUBLE)),
