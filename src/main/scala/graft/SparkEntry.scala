@@ -1020,6 +1020,36 @@ object SparkEntry {
         ("stat_std", r6(st.std))).toDF("metric", "value")
     }),
 
+    "q_multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      // real javax.imageio decode: gradient PNGs are encoded AND decoded
+      // through ImageIO inside the partition; the 4-band mean-luminance
+      // profile is pinned against an analytic recomputation that never
+      // touches an image codec (tools/gen_multimodal_oracle.py) — PNG
+      // losslessness makes the two paths agree exactly.
+      val dims = Seq((0L, 40, 30), (1L, 64, 48), (2L, 17, 11))
+      val media = dims.toDS().map { case (id, w, h) =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val v = (y * 255) / (h - 1)
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRow(id, "image", s"mem://$id", bos.toByteArray, 0, 0)
+      }
+      val feats = Multimodal.extractFeatures(media, dim = 4)
+      def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+      feats.flatMap(f => f.feature.zipWithIndex.map { case (v, b) =>
+        (f.media_id.toInt, b, r6(v.toDouble))
+      }).toDF("media_id", "band", "value")
+    }),
+
     // ---------------- DEM family (distributed 3×3 over strips) ----------------
     "q_aspect" -> ((s, d) =>
       demEmit(graft.raster.Dem.aspect(s, demGridStrips(s, 9), 40, 30), "asp_r")),
@@ -1812,6 +1842,23 @@ object SparkEntry {
         |  ('stat_mean', CAST(9.5 AS DOUBLE)),
         |  ('stat_std', CAST(9.949874 AS DOUBLE))
         |) AS t(metric, value)""".stripMargin,
+    "q_multimodal_decode" ->
+      // pinned from tools/gen_multimodal_oracle.py (analytic band-luma
+      // profile of the gradient PNGs — no image codec on the oracle path)
+      """SELECT * FROM (VALUES
+        |  (0, 0, CAST(0.118627 AS DOUBLE)),
+        |  (0, 1, CAST(0.377591 AS DOUBLE)),
+        |  (0, 2, CAST(0.635784 AS DOUBLE)),
+        |  (0, 3, CAST(0.895238 AS DOUBLE)),
+        |  (1, 0, CAST(0.115033 AS DOUBLE)),
+        |  (1, 1, CAST(0.370261 AS DOUBLE)),
+        |  (1, 2, CAST(0.625817 AS DOUBLE)),
+        |  (1, 3, CAST(0.881373 AS DOUBLE)),
+        |  (2, 0, CAST(0.099346 AS DOUBLE)),
+        |  (2, 1, CAST(0.398693 AS DOUBLE)),
+        |  (2, 2, CAST(0.699346 AS DOUBLE)),
+        |  (2, 3, CAST(0.94902 AS DOUBLE))
+        |) AS t(media_id, band, value)""".stripMargin,
     "q_complex_magphase" ->
       """SELECT * FROM (VALUES
         |  (0, 0, CAST(-2.6847 AS DOUBLE), CAST(-0.6292 AS DOUBLE)),

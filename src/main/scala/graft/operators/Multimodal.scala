@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * partition-batched kernels (`mapPartitions` over typed rows — the JVM
   * analogue of `mapInPandas` batch processing).
   *
-  * The decode step is STUBBED (no image/audio libraries in this
-  * environment): [[FakeDecoder]] is a clearly-marked deterministic stand-in
-  * that parses only our own synthetic header. Everything around it — the
-  * schema, the batching, the partition layout, null/corrupt handling — is
-  * the real production plumbing and is tested.
+  * Image decode is REAL for PNG/JPEG via the JDK's built-in
+  * `javax.imageio` ([[ImageDecoder]] — no external dependency); payloads
+  * are dispatched on their container magic bytes. Audio/video codecs are
+  * not in the JDK, so those payloads (and our synthetic fixture header)
+  * still route through [[FakeDecoder]], a clearly-marked deterministic
+  * stand-in. Everything around the codecs — the schema, the batching, the
+  * partition layout, null/corrupt poison-pill handling — is the real
+  * production plumbing and is tested.
   */
 object Multimodal {
 
@@ -47,9 +50,91 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder — deterministic fake. A real deployment swaps this for
-    * an actual codec (libjpeg/ffmpeg etc.); the signature and batch shape
-    * are what production code would use.
+  /** Real image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * the formats the built-in SPI registry ships readers for). Executors
+    * call this inside `mapPartitions`; ImageIO readers are fetched per
+    * call from the thread-safe registry, and decode failures return null
+    * so the caller can poison-pill instead of failing the task.
+    */
+  object ImageDecoder {
+
+    /** True if the payload starts with a container magic ImageIO can read:
+      * PNG (\x89PNG), JPEG (FF D8), GIF87a/89a, BMP ("BM").
+      */
+    def looksLikeImage(bytes: Array[Byte]): Boolean = {
+      if (bytes == null || bytes.length < 4) return false
+      val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+      (b0 == 0x89 && b1 == 'P') || (b0 == 0xff && b1 == 0xd8) ||
+        (b0 == 'G' && b1 == 'I') || (b0 == 'B' && b1 == 'M')
+    }
+
+    /** Decoded raster: dims + packed ARGB pixels (row-major). */
+    final case class Decoded(width: Int, height: Int, argb: Array[Int])
+
+    def decode(bytes: Array[Byte]): Decoded = {
+      if (bytes == null || bytes.length == 0) return null
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return null
+        val w = img.getWidth; val h = img.getHeight
+        Decoded(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+      } catch { case _: java.io.IOException | _: RuntimeException => null }
+    }
+
+    /** Deterministic dim-`d` feature from decoded pixels: a d-band
+      * mean-luminance profile (rows partitioned into d horizontal bands,
+      * Rec.601 luma, normalized to [0,1]) — the classic cheap visual
+      * fingerprint shape a real pipeline would feed downstream dedup.
+      */
+    def feature(dec: Decoded, d: Int): Array[Float] = {
+      val sums = new Array[Double](d)
+      val counts = new Array[Long](d)
+      var y = 0
+      while (y < dec.height) {
+        val band = math.min(d - 1, y * d / dec.height)
+        var x = 0
+        while (x < dec.width) {
+          val p = dec.argb(y * dec.width + x)
+          val lum = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)
+          sums(band) += lum; counts(band) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(d)(i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
+    }
+
+    /** Real resample: bilinear scale so max(w,h) <= maxSide (no upscale),
+      * re-encoded as PNG. Null on decode failure.
+      */
+    def resize(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null) return null
+      val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+      val tw = math.max(1, math.ceil(img.getWidth * scale).toInt)
+      val th = math.max(1, math.ceil(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, tw, th, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB decoder — deterministic fake for payloads the JDK has no codec
+    * for (audio/video, and the synthetic fixture header). A real deployment
+    * swaps this for an actual codec (ffmpeg etc.); the signature and batch
+    * shape are what production code would use.
     */
   object FakeDecoder {
     final val Magic = 0x47524654414d4544L
@@ -72,16 +157,49 @@ object Multimodal {
     }
   }
 
-  /** Partition-batched feature extraction. Corrupt payloads produce
-    * ok=false rows rather than failing the task (poison-pill isolation).
+  /** Partition-batched feature extraction. Real-image payloads (PNG/JPEG/
+    * GIF/BMP magic) decode through `javax.imageio` and report the DECODED
+    * dims; everything else falls back to the synthetic-header decoder.
+    * Corrupt payloads produce ok=false rows rather than failing the task
+    * (poison-pill isolation).
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val f = FakeDecoder.decode(m.bytes, dim)
-        if (f == null) MediaFeatures(m.media_id, m.kind, ok = false, m.width, m.height, Array.empty)
-        else MediaFeatures(m.media_id, m.kind, ok = true, m.width, m.height, f)
+        if (ImageDecoder.looksLikeImage(m.bytes)) {
+          val dec = ImageDecoder.decode(m.bytes)
+          if (dec == null)
+            MediaFeatures(m.media_id, m.kind, ok = false, m.width, m.height, Array.empty)
+          else
+            MediaFeatures(m.media_id, m.kind, ok = true, dec.width, dec.height,
+              ImageDecoder.feature(dec, dim))
+        } else {
+          val f = FakeDecoder.decode(m.bytes, dim)
+          if (f == null) MediaFeatures(m.media_id, m.kind, ok = false, m.width, m.height, Array.empty)
+          else MediaFeatures(m.media_id, m.kind, ok = true, m.width, m.height, f)
+        }
+      }
+    }
+  }
+
+  /** Materialized resize over image payloads: decode → bilinear downscale
+    * to `maxSide` → PNG re-encode, all inside the partition (pixels never
+    * leave the executor). Non-decodable rows come back with null bytes and
+    * ok=false.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val out =
+          if (ImageDecoder.looksLikeImage(m.bytes)) ImageDecoder.resize(m.bytes, maxSide)
+          else null
+        if (out == null) m.copy(bytes = null, width = -1, height = -1)
+        else {
+          val dec = ImageDecoder.decode(out)
+          m.copy(bytes = out, width = dec.width, height = dec.height)
+        }
       }
     }
   }

@@ -143,6 +143,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fs.groupBy($"media_id").count().select(max($"count")).as[Long].head() === 4L)
   }
 
+  test("multimodal: real PNG/JPEG decode via javax.imageio") {
+    import spark.implicits._
+    // build real PNGs in memory: a gradient whose band-luminance profile
+    // is monotonically increasing top→bottom
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (y * 255) / math.max(1, h - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", "u0", pngBytes(40, 30), 0, 0),
+      Multimodal.MediaRow(1L, "image", "u1", pngBytes(64, 48), 0, 0),
+      // truncated PNG: magic bytes present but body corrupt → poison pill
+      Multimodal.MediaRow(2L, "image", "u2", pngBytes(8, 8).take(20), 0, 0)).toDS()
+    val feats = Multimodal.extractFeatures(media, dim = 4).collect()
+      .sortBy(_.media_id)
+    // decoded dims come from the PNG itself, not the metadata columns
+    assert(feats(0).ok && feats(0).width === 40 && feats(0).height === 30)
+    assert(feats(1).ok && feats(1).width === 64 && feats(1).height === 48)
+    assert(!feats(2).ok)
+    // gradient → strictly increasing band means, all within [0,1]
+    val f0 = feats(0).feature
+    assert(f0.length === 4)
+    assert(f0.sliding(2).forall(p => p(0) < p(1)), f0.toSeq.toString)
+    assert(f0.forall(v => v >= 0f && v <= 1f))
+    // real resize: 64x48 → maxSide 32 ⇒ 32x24, re-encoded as decodable PNG
+    val resized = Multimodal.resizeImages(media, maxSide = 32).collect()
+      .sortBy(_.media_id)
+    assert(resized(0).width === 32 && resized(0).height === 24)
+    assert(resized(1).width === 32 && resized(1).height === 24)
+    assert(Multimodal.ImageDecoder.decode(resized(1).bytes).width === 32)
+    assert(resized(2).bytes === null && resized(2).width === -1)
+    // JPEG path (JDK writer) decodes through the same dispatch
+    val jimg = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val jrow = Seq(Multimodal.MediaRow(9L, "image", "j", jbos.toByteArray, 0, 0)).toDS()
+    val jf = Multimodal.extractFeatures(jrow, dim = 2).head()
+    assert(jf.ok && jf.width === 20 && jf.height === 10)
+  }
+
   test("OGR first-match left join: one row per primary, first secondary") {
     val prim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "pval")
     val sec = Seq((1L, 10L, "x"), (1L, 5L, "y"), (2L, 1L, "z")).toDF("fk", "fid", "sval")
