@@ -33,7 +33,7 @@ object Arrangement {
   /** One input ring: open or closed interleaved xy + region id + weight
     * (+1 as given, −1 to traverse reversed).
     */
-  private final case class InRing(xy: Array[Double], region: Int, w: Int)
+  private[core] final case class InRing(xy: Array[Double], region: Int, w: Int)
 
   final class Builder(nRegions: Int) {
     private val rings = ArrayBuffer[InRing]()
@@ -47,11 +47,15 @@ object Arrangement {
       */
     def addRingOriented(xy: Array[Double], region: Int, ccw: Boolean): Unit = {
       val n = openLen(xy) / 2
+      // centered at the first vertex: the orientation sign of a small ring
+      // far from the origin is otherwise decided by cancellation noise
+      val x0 = xy(0); val y0 = xy(1)
       var a2 = 0.0
       var i = 0
       while (i < n) {
         val j = (i + 1) % n
-        a2 += xy(2 * i) * xy(2 * j + 1) - xy(2 * j) * xy(2 * i + 1)
+        a2 += (xy(2 * i) - x0) * (xy(2 * j + 1) - y0) -
+          (xy(2 * j) - x0) * (xy(2 * i + 1) - y0)
         i += 1
       }
       val isCcw = a2 >= 0
@@ -88,6 +92,8 @@ object Arrangement {
     /** Run the overlay; `keep` sees the per-region winding vector. */
     def result(keep: Array[Int] => Boolean): Seq[GPolygon] =
       Arrangement.run(rings.toSeq, nRegions, keep)
+
+    private[core] def ringsBuf: ArrayBuffer[InRing] = rings
   }
 
   private def openLen(xy: Array[Double]): Int = {
@@ -586,7 +592,12 @@ object Arrangement {
 
   // ------------------------------------------------------------- drivers
 
-  private def quantize(rings: Seq[InRing], nRegions: Int)
+  /** `collapsed` != null switches ring collapse from the loud error to
+    * collect-and-skip: rings whose every vertex snaps to one grid point
+    * are recorded for the caller to resolve (see [[unionCascaded]]).
+    */
+  private def quantize(rings: Seq[InRing], nRegions: Int,
+                       collapsed: ArrayBuffer[InRing] = null)
       : (ArrayBuffer[SegM], (Long, Long) => (Double, Double)) = {
     var minX = Double.MaxValue; var minY = Double.MaxValue
     var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
@@ -628,11 +639,13 @@ object Arrangement {
         // entirely at the shared snapping grid (tiny feature in a huge
         // combined extent) — fail loudly rather than silently dropping
         // the feature from the overlay/dissolve result
-        if (emitted == 0 && distinctIn)
-          throw new IllegalArgumentException(
+        if (emitted == 0 && distinctIn) {
+          if (collapsed != null) collapsed += r
+          else throw new IllegalArgumentException(
             "arrangement: input ring collapses at the shared snapping grid " +
               s"(extent $extent vs feature size below ${extent / (1L << GridBits)}); " +
               "split the operation into locality groups or scale inputs")
+        }
       }
     }
     val back = (ix: Long, iy: Long) => (ix / 2.0 / scale + minX, iy / 2.0 / scale + minY)
@@ -640,9 +653,10 @@ object Arrangement {
   }
 
   private def run(rings: Seq[InRing], nRegions: Int,
-                  keep: Array[Int] => Boolean): Seq[GPolygon] = {
+                  keep: Array[Int] => Boolean,
+                  collapsed: ArrayBuffer[InRing] = null): Seq[GPolygon] = {
     if (rings.isEmpty) return Seq.empty
-    val (raw, back) = quantize(rings, nRegions)
+    val (raw, back) = quantize(rings, nRegions, collapsed)
     val noded = node(raw)
     if (noded.isEmpty) return Seq.empty
     val g = new Graph(noded)
@@ -690,10 +704,25 @@ object Arrangement {
     * cannot interact, so each gets its OWN arrangement — and its own
     * snapping grid scaled to ITS extent. A 1 mm feature a continent away
     * from the rest therefore dissolves exactly instead of collapsing at
-    * a shared grid; the loud grid-collapse error remains only for
-    * features genuinely overlapping at extreme size ratios.
+    * a shared grid.
+    *
+    * Features that genuinely overlap at extreme size ratios (a ring
+    * smaller than the component's snap step) no longer error: a collapsed
+    * SHELL is resolved against the component's result — dropped when its
+    * representative point lies inside (union-exact: it added nothing) and
+    * re-dissolved recursively at its own locality grid and appended when
+    * outside (exact for disjoint placement; a shell straddling the big
+    * boundary lands within the engine's documented snap tolerance either
+    * way). A collapsed HOLE is below snap resolution by construction and
+    * is dropped like any other sub-tolerance detail.
     */
-  def unionCascaded(gs: Iterable[Geom]): Seq[GPolygon] = {
+  def unionCascaded(gs: Iterable[Geom]): Seq[GPolygon] =
+    unionCascadedDepth(gs, 0)
+
+  private def unionCascadedDepth(gs: Iterable[Geom], depth: Int): Seq[GPolygon] = {
+    // each level shrinks the max feature extent by ~2^GridBits; doubles
+    // run out of dynamic range long before 48 levels
+    require(depth < 48, "unionCascaded: collapse recursion did not converge")
     val items = gs.toIndexedSeq
     if (items.isEmpty) return Seq.empty
     val envs = items.map(_.envelope)
@@ -722,7 +751,20 @@ object Arrangement {
     byComp.valuesIterator.flatMap { idxs =>
       val bld = new Builder(1)
       idxs.foreach(k => bld.addGeomOriented(items(k), 0))
-      bld.result(w => w(0) != 0)
+      val collapsed = ArrayBuffer[InRing]()
+      val main = run(bld.ringsBuf.toSeq, 1, w => w(0) != 0, collapsed)
+      if (collapsed.isEmpty) main
+      else {
+        // resolve collapsed shells against the component result
+        val outsideShells = collapsed.filter { r =>
+          r.w > 0 && !main.exists(p =>
+            GeomOps.polygonContainsPoint(p, r.xy(0), r.xy(1)))
+        }
+        if (outsideShells.isEmpty) main
+        else main ++ unionCascadedDepth(
+          outsideShells.map(r => GPolygon(Array(GLine(r.xy)))).toSeq,
+          depth + 1)
+      }
     }.toSeq
   }
 

@@ -121,14 +121,21 @@ object GeomOps {
 
   // ------------------------------------------------------------ measures ----
 
-  /** Shoelace ring area (absolute), as OGRLinearRing::get_Area. */
+  /** Shoelace ring area (absolute), as OGRLinearRing::get_Area.
+    * Coordinates are centered at the first vertex before the cross
+    * products: mathematically identical, but conditioned on the FEATURE
+    * extent instead of the coordinate magnitude (a 1e-6 ring at
+    * x=90000 otherwise cancels to pure ulp noise).
+    */
   def ringArea(xy: Array[Double]): Double = {
     val n = xy.length / 2
     if (n < 3) return 0.0
+    val x0 = xy(0); val y0 = xy(1)
     var sum = 0.0
     var i = 0
     while (i < n - 1) {
-      sum += xy(2 * i) * xy(2 * i + 3) - xy(2 * i + 1) * xy(2 * i + 2)
+      sum += (xy(2 * i) - x0) * (xy(2 * i + 3) - y0) -
+        (xy(2 * i + 1) - y0) * (xy(2 * i + 2) - x0)
       i += 1
     }
     math.abs(sum) / 2.0
@@ -168,6 +175,9 @@ object GeomOps {
       (sx / l.numPoints, sy / l.numPoints)
     case p: GPolygon =>
       // signed-area weighted centroid of exterior minus holes
+      // centered at the polygon's first vertex for precision (see
+      // ringArea); the offset is added back to the final centroid
+      val ox = p.rings(0).xy(0); val oy = p.rings(0).xy(1)
       var cx = 0.0; var cy = 0.0; var a = 0.0
       var r = 0
       while (r < p.rings.length) {
@@ -176,10 +186,12 @@ object GeomOps {
         var ra = 0.0; var rx = 0.0; var ry = 0.0
         var i = 0
         while (i < n - 1) {
-          val cross = xy(2 * i) * xy(2 * i + 3) - xy(2 * i + 2) * xy(2 * i + 1)
+          val ax = xy(2 * i) - ox; val ay = xy(2 * i + 1) - oy
+          val bx = xy(2 * i + 2) - ox; val by = xy(2 * i + 3) - oy
+          val cross = ax * by - bx * ay
           ra += cross
-          rx += (xy(2 * i) + xy(2 * i + 2)) * cross
-          ry += (xy(2 * i + 1) + xy(2 * i + 3)) * cross
+          rx += (ax + bx) * cross
+          ry += (ay + by) * cross
           i += 1
         }
         val sign = if (r == 0) 1.0 else -1.0
@@ -189,6 +201,7 @@ object GeomOps {
         if (ra != 0.0) { cx += sign * math.abs(ra) * (rx / (3.0 * ra)); cy += sign * math.abs(ra) * (ry / (3.0 * ra)) }
         r += 1
       }
+      cx += a * ox; cy += a * oy
       if (a == 0.0) centroid(GLine(p.rings(0).xy)) else (cx / a, cy / a)
     case GMulti(_, gs) if gs.nonEmpty =>
       // area-weighted over parts (falls back to mean of part centroids)

@@ -178,15 +178,29 @@ class ArrangementSpec extends AnyFunSuite {
     assert(out.map(GeomOps.area).min > 0.9e-12)
   }
 
-  test("genuinely-overlapping extreme size ratio still fails loudly") {
+  test("overlapping extreme size ratio: collapsed shell inside is union-exact") {
     // the tiny ring's envelope intersects the huge one → same component,
-    // shared grid → loud collapse error (not a silent drop)
+    // shared grid collapses the tiny ring — but it lies INSIDE the huge
+    // polygon, so dropping it is the exact union
     val tiny = sq(50000, 50000, 1e-6)
     val huge = sq(0, 0, 100000)
-    val e = intercept[IllegalArgumentException] {
-      Arrangement.unionCascaded(Seq(tiny, huge))
-    }
-    assert(e.getMessage.contains("snapping grid"))
+    val out = Arrangement.unionCascaded(Seq(tiny, huge))
+    assert(out.length === 1)
+    assert(math.abs(area(out) - 1e10) < 1.0)
+  }
+
+  test("overlapping extreme size ratio: collapsed shell outside re-dissolves") {
+    // huge right triangle; two overlapping tiny squares in the envelope's
+    // empty corner — collapsed at the shared grid, resolved OUTSIDE, and
+    // re-dissolved at their own locality grid (their union is exact)
+    val huge = GPolygon(Array(GLine(Array(0.0, 0, 100000, 0, 0, 100000, 0, 0))))
+    val t1 = sq(90000, 90000, 1e-6)
+    val t2 = sq(90000 + 0.5e-6, 90000, 1e-6) // overlaps t1 by half
+    val out = Arrangement.unionCascaded(Seq(huge, t1, t2))
+    assert(out.length === 2)
+    val tinyArea = out.map(GeomOps.area).min
+    assert(math.abs(tinyArea - 1.5e-12) < 1e-14, tinyArea.toString)
+    assert(math.abs(area(out) - (5e9 + 1.5e-12)) < 1.0)
   }
 
   test("multipoint buffer unions overlapping circles") {
