@@ -70,7 +70,15 @@ object Delaunay {
     * triangle (the reference's nodata case).
     */
   def interpolate(xs: Array[Double], ys: Array[Double], zs: Array[Double],
-                  tris: Array[Tri], x: Double, y: Double): Option[Double] = {
+                  tris: Array[Tri], x: Double, y: Double): Option[Double] =
+    interpolateTri(xs, ys, zs, tris, x, y).map(_._2)
+
+  /** Like [[interpolate]] but also returns WHICH triangle contained the
+    * query — the distributed gridder needs it for the circumcircle
+    * containment proof.
+    */
+  def interpolateTri(xs: Array[Double], ys: Array[Double], zs: Array[Double],
+                     tris: Array[Tri], x: Double, y: Double): Option[(Int, Double)] = {
     var i = 0
     while (i < tris.length) {
       val t = tris(i)
@@ -84,10 +92,29 @@ object Delaunay {
         val l3 = 1.0 - l1 - l2
         val eps = -1e-10
         if (l1 >= eps && l2 >= eps && l3 >= eps)
-          return Some(l1 * zs(t.a) + l2 * zs(t.b) + l3 * zs(t.c))
+          return Some((i, l1 * zs(t.a) + l2 * zs(t.b) + l3 * zs(t.c)))
       }
       i += 1
     }
     None
+  }
+
+  /** Circumcircle (center, radius) of triangle `t`, computed in
+    * coordinates centered at the first vertex (conditioning on triangle
+    * extent, not coordinate magnitude). Infinite radius for degenerate
+    * triangles.
+    */
+  def circumcircle(xs: Array[Double], ys: Array[Double], t: Tri)
+      : (Double, Double, Double) = {
+    val ax = xs(t.a); val ay = ys(t.a)
+    val bx = xs(t.b) - ax; val by = ys(t.b) - ay
+    val cx = xs(t.c) - ax; val cy = ys(t.c) - ay
+    val d = 2.0 * (bx * cy - by * cx)
+    if (d == 0.0) return (ax, ay, Double.PositiveInfinity)
+    val b2 = bx * bx + by * by
+    val c2 = cx * cx + cy * cy
+    val ux = (cy * b2 - by * c2) / d
+    val uy = (bx * c2 - cx * b2) / d
+    (ax + ux, ay + uy, math.hypot(ux, uy))
   }
 }

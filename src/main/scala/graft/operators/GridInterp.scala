@@ -145,26 +145,25 @@ object GridInterp {
       .select(col("qid"), coalesce(col("__v"), lit(noData)).as("nn_v"))
   }
 
-  /** Linear (Delaunay) interpolation (GDALGridLinear): the sample set is
-    * triangulated ONCE (driver — the reference also holds every point in
-    * memory for its global triangulation) and the triangulation broadcast;
-    * queries interpolate barycentrically in parallel. Outside the hull →
-    * noData.
+  /** Linear (Delaunay) interpolation (GDALGridLinear): up to `maxSamples`
+    * the sample set is triangulated ONCE (driver — the reference also
+    * holds every point in memory for its global triangulation) and the
+    * triangulation broadcast; queries interpolate barycentrically in
+    * parallel. Outside the hull → noData. Past `maxSamples` the call
+    * dispatches to [[linearDistributed]] — same results, no driver
+    * collection.
     */
   def linear(points: DataFrame, lon: Column, lat: Column, value: Column,
              queries: DataFrame, qid: Column, qlon: Column, qlat: Column,
              noData: Double = 0.0, maxSamples: Long = 2000000L): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    // the reference's GDALGridLinear also holds every sample in memory for
-    // one global triangulation; guard the collect LOUDLY so a 100× user
-    // gets an actionable error instead of a driver OOM (IDW/nearest are
-    // the distributed siblings for large sample sets)
     val nSamples = points.count()
-    require(nSamples <= maxSamples,
-      s"GridInterp.linear: $nSamples samples exceed the driver-side " +
-        s"triangulation cap ($maxSamples) — use idw/nearest (distributed) " +
-        "or raise maxSamples explicitly")
+    if (nSamples > maxSamples)
+      // past driver capacity: grid-cell local triangulations with a
+      // circumcircle-containment proof of global-Delaunay equality
+      return linearDistributed(points, lon, lat, value,
+        queries, qid, qlon, qlat, noData)
     val collected = points.select(lon.cast("double"), lat.cast("double"),
       value.cast("double")).as[(Double, Double, Double)].collect()
     // dedupe by (x, y) keeping the first value — duplicate coordinates
@@ -183,5 +182,148 @@ object GridInterp {
         (id, graft.core.Delaunay.interpolate(bxs, bys, bzs, btris, qx, qy)
           .getOrElse(noData))
       }.toDF("qid", "lin_v")
+  }
+
+  // public: Spark's generated encoder projections need access
+  final case class CPt(cell: Long, x: Double, y: Double, z: Double)
+  final case class CQry(cell: Long, qid: Long, qx: Double, qy: Double)
+  final case class LinRes(cell: Long, qid: Long, qx: Double, qy: Double,
+                          v: Double, done: Boolean)
+
+  /** Distributed GDALGridLinear for sample sets beyond driver memory:
+    * grid-cell-partitioned LOCAL Delaunay triangulations with a growing
+    * halo and a circumcircle-containment PROOF of exactness.
+    *
+    * A query in cell c at halo h sees every sample whose cell lies in the
+    * box B = c ± h. The local triangulation of those samples is Delaunay
+    * among them; if the triangle containing the query has its circumcircle
+    * strictly inside B's coordinate box, no un-gathered sample can invade
+    * the circle, so the triangle is in the GLOBAL Delaunay triangulation
+    * and the interpolated value is exact — not an approximation.
+    * Unverified queries re-run at double the halo (the KnnJoin
+    * ring-expansion pattern: the driver sees per-round COUNTS, never
+    * samples); once B covers the whole extent the local triangulation IS
+    * the global one, so termination is guaranteed. Queries outside the
+    * sample envelope are outside the hull and short-circuit to noData.
+    *
+    * Work per query cell is bounded by local density, not total sample
+    * count — on a 1000-executor cluster each cell group triangulates only
+    * its neighborhood, embarrassingly parallel across cells.
+    */
+  def linearDistributed(points: DataFrame, lon: Column, lat: Column, value: Column,
+                        queries: DataFrame, qid: Column, qlon: Column, qlat: Column,
+                        noData: Double = 0.0, targetPerCell: Int = 512): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts0 = points.select(lon.cast("double").as("x"), lat.cast("double").as("y"),
+      value.cast("double").as("z"))
+    val (minX, maxX, minY, maxY, n) =
+      pts0.agg(min($"x"), max($"x"), min($"y"), max($"y"), count(lit(1)))
+        .as[(Double, Double, Double, Double, Long)].head()
+    require(n >= 3, "GridInterp.linearDistributed: need at least 3 samples")
+    val side = math.max(1, math.ceil(math.sqrt(
+      math.max(1.0, n.toDouble / targetPerCell))).toInt)
+    val cw = { val w = (maxX - minX) / side; if (w > 0) w else 1.0 }
+    val ch = { val w = (maxY - minY) / side; if (w > 0) w else 1.0 }
+    @inline def cellIx(v: Double, lo: Double, w: Double): Int =
+      math.min(side - 1, math.max(0, math.floor((v - lo) / w).toInt))
+    def key(cx: Int, cy: Int): Long = (cx.toLong << 32) | (cy.toLong & 0xffffffffL)
+
+    val cellPts = pts0.as[(Double, Double, Double)]
+      .map { case (x, y, z) => CPt(key(cellIx(x, minX, cw), cellIx(y, minY, ch)), x, y, z) }
+      .persist()
+    cellPts.count() // materialize once; reused every round
+
+    val q0 = queries.select(qid.cast("long"), qlon.cast("double"), qlat.cast("double"))
+      .as[(Long, Double, Double)]
+      .map { case (id, qx, qy) =>
+        CQry(key(cellIx(qx, minX, cw), cellIx(qy, minY, ch)), id, qx, qy)
+      }
+    // outside the sample envelope ⇒ outside the hull ⇒ noData, no rounds
+    val inEnv = q0.filter(q => q.qx >= minX && q.qx <= maxX && q.qy >= minY && q.qy <= maxY)
+    val outEnv = q0.filter(q => !(q.qx >= minX && q.qx <= maxX && q.qy >= minY && q.qy <= maxY))
+      .map(q => (q.qid, noData)).toDF("qid", "lin_v")
+
+    var unresolved = inEnv.persist()
+    var resolved: DataFrame = null
+    var h = 1
+    while (unresolved.count() > 0) {
+      val coversAll = h >= side
+      val needed = unresolved.map(_.cell).distinct().collect().toSet
+      val bNeeded = spark.sparkContext.broadcast(needed)
+      val hh = h
+      val shipped = cellPts.flatMap { p =>
+        val pcx = (p.cell >> 32).toInt; val pcy = p.cell.toInt
+        val set = bNeeded.value
+        // emit to each NEEDED cell within Chebyshev distance h — iterate
+        // whichever enumeration is smaller (offsets vs needed list)
+        val span = 2L * hh + 1
+        if (span * span <= set.size) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[CPt]
+          var dx = -hh
+          while (dx <= hh) {
+            var dy = -hh
+            while (dy <= hh) {
+              val k = key(pcx + dx, pcy + dy)
+              if (set.contains(k)) out += p.copy(cell = k)
+              dy += 1
+            }
+            dx += 1
+          }
+          out.iterator
+        } else set.iterator.filter { k =>
+          val cx = (k >> 32).toInt; val cy = k.toInt
+          math.abs(cx - pcx) <= hh && math.abs(cy - pcy) <= hh
+        }.map(k => p.copy(cell = k))
+      }
+      val res = shipped.groupByKey(_.cell)
+        .cogroup(unresolved.groupByKey(_.cell)) { (cellKey, pit, qit) =>
+          val qs = qit.toArray
+          if (qs.isEmpty) Iterator.empty
+          else {
+            val cx = (cellKey >> 32).toInt; val cy = cellKey.toInt
+            // coordinate box of the gathered cells (un-gathered samples
+            // are provably outside it)
+            val bLoX = minX + (cx - hh).toDouble * cw
+            val bHiX = minX + (cx + hh + 1).toDouble * cw
+            val bLoY = minY + (cy - hh).toDouble * ch
+            val bHiY = minY + (cy + hh + 1).toDouble * ch
+            val margin = 1e-9 * math.max(cw, ch)
+            val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
+            val arr = pit.filter(p => seen.add((p.x, p.y))).toArray
+            if (arr.length < 3)
+              qs.iterator.map(q => LinRes(q.cell, q.qid, q.qx, q.qy, noData, coversAll))
+            else {
+              val xs = arr.map(_.x); val ys = arr.map(_.y); val zs = arr.map(_.z)
+              val tris = graft.core.Delaunay.triangulate(xs, ys)
+              qs.iterator.map { q =>
+                graft.core.Delaunay.interpolateTri(xs, ys, zs, tris, q.qx, q.qy) match {
+                  case Some((ti, v)) =>
+                    val (ox, oy, r) = graft.core.Delaunay.circumcircle(xs, ys, tris(ti))
+                    val inside = ox - r >= bLoX + margin && ox + r <= bHiX - margin &&
+                      oy - r >= bLoY + margin && oy + r <= bHiY - margin
+                    LinRes(q.cell, q.qid, q.qx, q.qy, v, inside || coversAll)
+                  case None =>
+                    // outside the LOCAL hull proves nothing until the box
+                    // covers everything
+                    LinRes(q.cell, q.qid, q.qx, q.qy, noData, coversAll)
+                }
+              }
+            }
+          }
+        }.persist()
+      val roundDone = res.filter(_.done).map(r => (r.qid, r.v)).toDF("qid", "lin_v")
+        .localCheckpoint(true)
+      resolved = if (resolved == null) roundDone else resolved.union(roundDone)
+      val next = res.filter(!_.done).map(r => CQry(r.cell, r.qid, r.qx, r.qy))
+        .localCheckpoint(true)
+      unresolved.unpersist(false)
+      res.unpersist(false)
+      unresolved = next
+      h *= 2
+    }
+    cellPts.unpersist(false)
+    val all = if (resolved == null) outEnv else resolved.union(outEnv)
+    all.select(col("qid"), col("lin_v"))
   }
 }
