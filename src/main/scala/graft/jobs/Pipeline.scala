@@ -9,15 +9,21 @@ import graft.operators.SpatialJoin
 
 /** The flagship spark-submit job (north rule): pages → geo_extract →
   * cell index → cell-bucketed PIP join → tile assignment → partitioned
-  * parquet, resumable at batch granularity via per-partition lineage
+  * parquet, resumable at PARTITION granularity via per-partition lineage
   * records.
   *
-  * Lineage model: the input is split into `nBatches` deterministic
-  * hash-batches of pages (url-hash — stable across runs and cluster
-  * sizes). Each batch runs as one fully-parallel Spark job writing
-  * `out/batch=<b>/`, then commits a `_lineage/batch-<b>.json` record with
-  * input/output counts and an order-insensitive result checksum. A
-  * restarted job lists committed records and skips those batches — the
+  * Lineage model, two levels:
+  *  - the input is split into `nBatches` deterministic hash-batches of
+  *    pages (url-hash — stable across runs and cluster sizes); each batch
+  *    runs as one fully-parallel Spark job writing `out/batch=<b>/`, then
+  *    commits a `_lineage/batch-<b>.json` record with input/output counts
+  *    and an order-insensitive result checksum;
+  *  - WITHIN a batch, rows carry a deterministic partition id and each
+  *    write task durably commits its own partitions
+  *    (`_lineage/batch-<b>/part-<p>.json`, see [[runBatch]]), so a job
+  *    killed mid-batch resumes from the first uncommitted PARTITION, not
+  *    the batch start.
+  * A restarted job lists committed records and skips them — the
   * reference's chunked processing loops
   * (`/root/reference/gdal/alg/gdalrasterize.cpp:655-706`,
   * `gdal/alg/gdalwarpoperation.cpp:672-735`) are the restart units GDAL
@@ -29,6 +35,14 @@ import graft.operators.SpatialJoin
   * through untouched as a projection; [[graft.tools.PipelineCheck]]
   * verifies it by anti-joining output against input on (url, text).
   */
+/** JVM-static commit counter for the mid-batch kill test hook (local-mode
+  * task closures are serialized copies — a captured counter would not be
+  * shared; a static is, within the single local JVM).
+  */
+object PartKill {
+  val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 object Pipeline {
 
   final case class BatchResult(batch: Int, inPages: Long, outRows: Long, checksum: Long)
@@ -39,7 +53,9 @@ object Pipeline {
       cellRes: Int = 7,
       tileDeg: Double = 0.1,
       tilePx: Int = 256,
-      failAfterBatch: Int = -1) // test hook: throw after N committed batches
+      nParts: Int = 64,        // deterministic output partitions per batch
+      failAfterBatch: Int = -1, // test hook: throw after N committed batches
+      failAfterParts: Int = -1) // test hook: kill mid-batch after N partition commits
 
   /** Transform one page batch: extract coords, assign cells + tiles, join
     * zones. Pure projection of `text`/`url` — never rewritten.
@@ -84,22 +100,106 @@ object Pipeline {
     fs.rename(tmp, fin) // atomic commit: record exists ⇒ batch output complete
   }
 
-  /** One batch: single scan of the batch input (the write job), with the
-    * input-page count observed from that same scan (no second count job);
-    * output stats come from re-reading the just-written batch parquet
-    * (small, local to the batch) rather than caching the whole transform.
+  /** Committed output partitions of a batch: `_lineage/batch-<b>/part-<p>.json`. */
+  def committedParts(spark: SparkSession, cfg: Config, b: Int): Set[Int] = {
+    val fs = new Path(cfg.outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"${lineageDir(cfg)}/batch-$b")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("part-") && n.endsWith(".json") =>
+        n.stripPrefix("part-").stripSuffix(".json").toInt
+      }.toSet
+  }
+
+  /** One batch, committed at PARTITION granularity: rows get a
+    * deterministic partition id (url+mention hash — stable across runs
+    * and cluster sizes), and each WRITE TASK makes its partitions durable
+    * itself (parquet tmp file → rename → `part-<p>.json` lineage record
+    * via [[TaskParquet]]) instead of waiting for Spark's job-level
+    * committer. A job killed mid-batch therefore restarts from the first
+    * UNCOMMITTED partition: committed partitions are filtered out of the
+    * scan before the shuffle, and their files are never rewritten.
+    *
+    * The input-page count is observed from the same scan (no second count
+    * job); output stats come from re-reading the just-written batch
+    * parquet (small, local to the batch).
     */
   private def runBatch(spark: SparkSession, batchPages: DataFrame, zones: DataFrame,
                        cfg: Config, b: Int): BatchResult = {
-    val obs = org.apache.spark.sql.Observation(s"graft_pipe_in_$b")
+    val batchDir = s"${cfg.outDir}/batch=$b"
+    val partLineDir = s"${lineageDir(cfg)}/batch-$b"
+    val done = committedParts(spark, cfg, b)
+    val obs = org.apache.spark.sql.Observation(s"graft_pipe_in_${b}_${done.size}")
     val observed = batchPages.observe(obs, count(lit(1)).as("n"))
-    transform(observed, zones, cfg)
-      .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$b")
+    val out = transform(observed, zones, cfg)
+      .withColumn("__pid",
+        pmod(xxhash64(col("url"), col("mention_idx")), lit(cfg.nParts)).cast("int"))
+    val pending =
+      if (done.isEmpty) out
+      else out.filter(!col("__pid").isInCollection(done))
+    val schema = pending.drop("__pid").schema
+    val conf = new TaskParquet.SerConf(spark.sparkContext.hadoopConfiguration)
+    val bconf = spark.sparkContext.broadcast(conf)
+    val failAfter = cfg.failAfterParts
+    val pidIdx = schema.length // __pid is the last column
+    pending.repartition(cfg.nParts, col("__pid"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val hconf = bconf.value.conf
+          val mt = TaskParquet.messageType(schema) // MessageType is not Serializable
+          val fs = new Path(batchDir).getFileSystem(hconf)
+          fs.mkdirs(new Path(batchDir)); fs.mkdirs(new Path(partLineDir))
+          val attempt = java.util.UUID.randomUUID().toString.take(8)
+          // hash collisions can land several pids in one task: one
+          // streaming writer per pid, commit each pid independently
+          val writers = scala.collection.mutable.HashMap
+            .empty[Int, (Path, TaskParquet.RowFileWriter, Array[Long])]
+          it.foreach { row =>
+            val pid = row.getInt(pidIdx)
+            val (_, w, stat) = writers.getOrElseUpdate(pid, {
+              val tmp = new Path(s"$batchDir/.part-$pid-$attempt.tmp")
+              (tmp, new TaskParquet.RowFileWriter(hconf, tmp, schema, mt),
+                Array(0L))
+            })
+            // strip __pid: rebuild the row view without the last field
+            w.add(org.apache.spark.sql.Row.fromSeq(row.toSeq.dropRight(1)))
+            stat(0) += 1
+          }
+          writers.toSeq.sortBy(_._1).foreach { case (pid, (tmp, w, stat)) =>
+            w.close()
+            val fin = new Path(s"$batchDir/part-$pid.parquet")
+            // a racing retry may have won: its output is equivalent
+            if (!fs.rename(tmp, fin) && !fs.exists(fin))
+              throw new java.io.IOException(s"commit failed for $fin")
+            if (fs.exists(new Path(s"$batchDir/.part-$pid-$attempt.tmp")))
+              fs.delete(new Path(s"$batchDir/.part-$pid-$attempt.tmp"), false)
+            val recTmp = new Path(s"$partLineDir/.part-$pid-$attempt.tmp")
+            val rec = new Path(s"$partLineDir/part-$pid.json")
+            val os = fs.create(recTmp, true)
+            os.write(s"""{"batch":$b,"part":$pid,"rows":${stat(0)}}""".getBytes("UTF-8"))
+            os.close()
+            if (!fs.rename(recTmp, rec) && !fs.exists(rec))
+              throw new java.io.IOException(s"lineage commit failed for $rec")
+            val k = PartKill.committed.incrementAndGet()
+            if (failAfter >= 0 && k > failAfter)
+              throw new RuntimeException(
+                s"injected failure after $k partition commits (test hook)")
+          }
+        }
+      }
     val inCount = obs.get("n").asInstanceOf[Long]
-    val stats = spark.read.parquet(s"${cfg.outDir}/batch=$b").agg(
-      count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("url"), col("cell"), col("zone_id"))), lit(0L))).head()
-    BatchResult(b, inCount, stats.getLong(0), stats.getLong(1))
+    val fs = new Path(cfg.outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = if (fs.exists(new Path(batchDir)))
+      fs.listStatus(new Path(batchDir)).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted
+    else Array.empty[String]
+    if (files.isEmpty) BatchResult(b, inCount, 0L, 0L)
+    else {
+      val stats = spark.read.parquet(files.toIndexedSeq: _*).agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("url"), col("cell"), col("zone_id"))), lit(0L))).head()
+      BatchResult(b, inCount, stats.getLong(0), stats.getLong(1))
+    }
   }
 
   private def commitLoop(spark: SparkSession, cfg: Config,

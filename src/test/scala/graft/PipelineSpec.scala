@@ -48,6 +48,55 @@ class PipelineSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("mid-batch kill resumes at partition granularity; committed parts untouched") {
+    val pages = Pages.synth(spark, 4000L).cache()
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pipe-pa").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-pipe-pb").toString
+
+    val cfgA = Pipeline.Config(outDir = dirA, nBatches = 2, nParts = 16)
+    Pipeline.run(spark, pages, zones, cfgA)
+
+    // kill INSIDE the first batch after 5 partition commits
+    graft.jobs.PartKill.committed.set(0)
+    val cfgB = Pipeline.Config(outDir = dirB, nBatches = 2, nParts = 16,
+      failAfterParts = 5)
+    intercept[org.apache.spark.SparkException] {
+      Pipeline.run(spark, pages, zones, cfgB)
+    }
+    assert(Pipeline.committedBatches(spark, cfgB).isEmpty, "no batch record yet")
+    val partsDone = Pipeline.committedParts(spark, cfgB, 0)
+    assert(partsDone.size >= 5, s"expected >=5 committed parts, got $partsDone")
+    assert(partsDone.size < 16, "kill should leave some partitions uncommitted")
+
+    // committed partition files must survive the restart untouched
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def mtimes(): Map[String, Long] = partsDone.toSeq.map { p =>
+      val f = new org.apache.hadoop.fs.Path(s"$dirB/batch=0/part-$p.parquet")
+      (f.getName, fs.getFileStatus(f).getModificationTime)
+    }.toMap
+    val before = mtimes()
+
+    graft.jobs.PartKill.committed.set(0)
+    Pipeline.run(spark, pages, zones, cfgB.copy(failAfterParts = -1))
+    assert(Pipeline.committedBatches(spark, cfgB).size === 2)
+    assert(mtimes() === before, "restart rewrote already-committed partitions")
+
+    def canon(dir: String) =
+      Pipeline.output(spark, Pipeline.Config(outDir = dir, nBatches = 2))
+        .select($"url", $"mention_idx", $"zone_id", $"cell", $"tile_x", $"tile_y")
+        .as[(String, Int, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(canon(dirB) === canon(dirA))
+    assert(canon(dirB).nonEmpty)
+    // timestamps/text round-trip through the task-written parquet intact
+    val out = Pipeline.output(spark, cfgB)
+    val bad = out.select($"url", $"warc_ts", $"text").distinct()
+      .join(pages.select($"url", $"warc_ts".as("ots"), $"text".as("orig")), "url")
+      .filter($"text" =!= $"orig" || $"warc_ts" =!= $"ots")
+    assert(bad.count() === 0, "text/warc_ts changed through task-committed parquet")
+    pages.unpersist()
+  }
+
   test("file-batched runOnPath: one scan of the input, same rows, resumable") {
     val pages = Pages.synth(spark, 3000L)
     val inDir = java.nio.file.Files.createTempDirectory("graft-pipe-in").toString
