@@ -28,6 +28,22 @@ object Arrangement {
 
   private final val GridBits = 26
 
+  /** Candidate-pair enumerator for noding: 0 = auto (sweep for large
+    * segment counts, grid otherwise), 1 = force grid, 2 = force sweep.
+    * Both enumerators feed the same exact `testPair` predicates, so the
+    * arrangement output is identical either way — the fuzz batteries run
+    * in forced-sweep mode to prove it. Test hook; not part of the API.
+    */
+  @volatile private[graft] var noderMode: Int = 0
+
+  /** Auto threshold: below this the grid enumerator wins on constants;
+    * above it the sweep's O((n+k) log n) bound beats the grid's
+    * sensitivity to mixed segment scales (a coastline-complexity dissolve
+    * has km-long and cm-long segments in one pass, where a single cell
+    * size over- or under-buckets one of the two populations).
+    */
+  private final val SweepThreshold = 16384
+
   // ---------------------------------------------------------------- input
 
   /** One input ring: open or closed interleaved xy + region id + weight
@@ -129,8 +145,249 @@ object Arrangement {
       f
     }
 
+  /** Sweep-line candidate enumeration (Shamos–Hoey / Bentley–Ottmann
+    * style): a vertical line sweeps left→right over segment bounding
+    * boxes; each fresh segment is tested against exactly the active
+    * segments whose y-interval meets its own, in O((n + k) log n) total.
+    * Unlike the uniform grid this is insensitive to the distribution of
+    * segment lengths — a coastline-complexity dissolve mixes km-long and
+    * cm-long segments in one pass, where any single grid cell size
+    * over- or under-buckets one of the two populations.
+    *
+    * Active-set decomposition for a query y-interval Q = [lo, hi], with
+    * y endpoints compressed to ranks:
+    *  - active S contains Q.lo → stabbing query in a segment tree whose
+    *    canonical nodes store the active ids (the walk root→leaf(Q.lo)
+    *    visits exactly the canonical node of every interval containing
+    *    Q.lo), with (node,pos) handles for O(log m) swap-delete;
+    *  - otherwise S.lo ∈ (Q.lo, Q.hi] → range scan of a TreeMap keyed by
+    *    (S.lo rank, id).
+    * The two cases partition the interval-overlap predicate, so no pair
+    * is reported twice. Feeds the same exact `testPair` predicates as the
+    * grid enumerator, so arrangement output is identical either way
+    * (GEOS's MCIndexNoder plays the same role for its snap-rounder).
+    */
+  private def sweepPairs(segs: ArrayBuffer[SegM])(test: (Int, Int) => Unit): Unit = {
+    val n = segs.length
+    if (n < 2) return
+    // quantized coords are ≤ 2^29, so the Long→Double conversion is exact
+    val xMin = new Array[Double](n); val xMax = new Array[Double](n)
+    val yLo = new Array[Double](n); val yHi = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val s = segs(i)
+      xMin(i) = math.min(s.ax, s.bx).toDouble
+      xMax(i) = math.max(s.ax, s.bx).toDouble
+      yLo(i) = math.min(s.ay, s.by).toDouble
+      yHi(i) = math.max(s.ay, s.by).toDouble
+      i += 1
+    }
+    boxSweep(n, xMin, xMax, yLo, yHi)(test)
+  }
+
+  /** Core of the sweep: report every pair of boxes with overlapping
+    * (closed) x and y intervals exactly once, O((n + k) log n).
+    */
+  private def boxSweep(n: Int, xMin: Array[Double], xMax: Array[Double],
+                       yLoV: Array[Double], yHiV: Array[Double])(
+      test: (Int, Int) => Unit): Unit = {
+    if (n < 2) return
+    val ys = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) { ys(2 * i) = yLoV(i); ys(2 * i + 1) = yHiV(i); i += 1 }
+    java.util.Arrays.sort(ys)
+    var m = 0
+    i = 0
+    while (i < 2 * n) { if (m == 0 || ys(m - 1) != ys(i)) { ys(m) = ys(i); m += 1 }; i += 1 }
+    @inline def rankOf(v: Double): Int = {
+      var lo = 0; var hi = m - 1
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (ys(mid) < v) lo = mid + 1 else hi = mid }
+      lo
+    }
+    val loR = new Array[Int](n); val hiR = new Array[Int](n)
+    i = 0
+    while (i < n) { loR(i) = rankOf(yLoV(i)); hiR(i) = rankOf(yHiV(i)); i += 1 }
+    val tree = new Array[ArrayBuffer[Int]](2 * m)
+    val handles = Array.fill(n)(new ArrayBuffer[Long](4)) // node<<32 | pos
+    @inline def storeAt(node: Int, id: Int): Unit = {
+      var l = tree(node)
+      if (l == null) { l = new ArrayBuffer[Int](4); tree(node) = l }
+      handles(id) += ((node.toLong << 32) | l.length)
+      l += id
+    }
+    def insertTree(id: Int): Unit = {
+      var a = loR(id) + m; var b = hiR(id) + m + 1
+      while (a < b) {
+        if ((a & 1) == 1) { storeAt(a, id); a += 1 }
+        if ((b & 1) == 1) { b -= 1; storeAt(b, id) }
+        a >>= 1; b >>= 1
+      }
+    }
+    def removeTree(id: Int): Unit = {
+      val hs = handles(id)
+      var k = 0
+      while (k < hs.length) {
+        val node = (hs(k) >>> 32).toInt; val pos = (hs(k) & 0xffffffffL).toInt
+        val l = tree(node)
+        val last = l.length - 1
+        val moved = l(last)
+        l(pos) = moved; l.remove(last)
+        if (moved != id) {
+          val mh = handles(moved)
+          var t = 0
+          var done = false
+          while (t < mh.length && !done) {
+            if (mh(t) == ((node.toLong << 32) | last)) {
+              mh(t) = (node.toLong << 32) | pos; done = true
+            }
+            t += 1
+          }
+        }
+        k += 1
+      }
+      hs.clear()
+    }
+    val byLo = new java.util.TreeMap[Long, Integer]()
+    val heap = new java.util.PriorityQueue[Integer](16,
+      (a: Integer, b: Integer) => java.lang.Double.compare(xMax(a), xMax(b)))
+    // sort insert order by bbox xmin — primitive parallel sort (the
+    // order-preserving double→long bit transform avoids a boxed sort on
+    // millions of segments per pass)
+    val sortKeys = new Array[Long](n)
+    val orderL = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val bits = java.lang.Double.doubleToLongBits(xMin(i))
+      sortKeys(i) = bits ^ ((bits >> 63) | Long.MinValue)
+      orderL(i) = i
+      i += 1
+    }
+    sortParallel(sortKeys, orderL, 0, n - 1)
+    val order = new Array[Int](n)
+    i = 0
+    while (i < n) { order(i) = orderL(i).toInt; i += 1 }
+    i = 0
+    while (i < n) {
+      val id = order(i)
+      // evict actives strictly left of this bbox (touching stays active)
+      while (!heap.isEmpty && xMax(heap.peek) < xMin(id)) {
+        val gone: Int = heap.poll()
+        removeTree(gone)
+        byLo.remove(loR(gone).toLong * n + gone)
+      }
+      // (a) actives whose y-interval contains loR(id)
+      var node = loR(id) + m
+      while (node >= 1) {
+        val l = tree(node)
+        if (l != null) {
+          var k = 0
+          while (k < l.length) {
+            val j = l(k)
+            test(math.min(id, j), math.max(id, j)); k += 1
+          }
+        }
+        node >>= 1
+      }
+      // (b) actives whose lo rank lies in (loR(id), hiR(id)]
+      val it = byLo.subMap(loR(id).toLong * n + n, true,
+        (hiR(id).toLong + 1) * n, false).values.iterator
+      while (it.hasNext) {
+        val j: Int = it.next()
+        test(math.min(id, j), math.max(id, j))
+      }
+      insertTree(id)
+      byLo.put(loR(id).toLong * n + id, id)
+      heap.add(id)
+      i += 1
+    }
+  }
+
+  /** Open-addressing primitive Long set: the noding pass dedups millions
+    * of candidate pairs and split points per pass, where boxed
+    * `HashSet[Long]`/tuple `contains` were the measured hotspots.
+    */
+  private final class LongSet(initCap: Int) {
+    private var cap = math.max(16, Integer.highestOneBit(initCap * 2 - 1) << 1)
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var usedArr = new Array[Boolean](cap)
+    private var n = 0
+    @inline private def mix(k: Long): Int = {
+      val h = k * -7046029254386353131L
+      ((h ^ (h >>> 32)) & mask).toInt
+    }
+    /** true if k was newly added */
+    def add(k: Long): Boolean = {
+      if (n * 4 >= cap * 3) grow()
+      var i = mix(k)
+      while (usedArr(i)) {
+        if (keys(i) == k) return false
+        i = (i + 1) & mask
+      }
+      keys(i) = k; usedArr(i) = true; n += 1
+      true
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ou = usedArr
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); usedArr = new Array[Boolean](cap)
+      n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) add(ok(i))
+        i += 1
+      }
+    }
+  }
+
+  /** In-place quicksort of `keys` carrying `vals` along (both primitive —
+    * avoids the boxed sortBy in the split-application loop).
+    */
+  private def sortParallel(keys: Array[Long], vals: Array[Long],
+                           lo0: Int, hi0: Int): Unit = {
+    var lo = lo0; var hi = hi0
+    if (hi - lo < 1) return
+    if (hi - lo < 12) { // insertion sort for small runs
+      var i = lo + 1
+      while (i <= hi) {
+        val k = keys(i); val v = vals(i)
+        var j = i - 1
+        while (j >= lo && keys(j) > k) {
+          keys(j + 1) = keys(j); vals(j + 1) = vals(j); j -= 1
+        }
+        keys(j + 1) = k; vals(j + 1) = v
+        i += 1
+      }
+      return
+    }
+    val p = keys((lo + hi) >>> 1)
+    while (lo <= hi) {
+      while (keys(lo) < p) lo += 1
+      while (keys(hi) > p) hi -= 1
+      if (lo <= hi) {
+        val tk = keys(lo); keys(lo) = keys(hi); keys(hi) = tk
+        val tv = vals(lo); vals(lo) = vals(hi); vals(hi) = tv
+        lo += 1; hi -= 1
+      }
+    }
+    sortParallel(keys, vals, lo0, hi)
+    sortParallel(keys, vals, lo, hi0)
+  }
+
+  @inline private def packPt(x: Long, y: Long): Long =
+    (x << 32) | (y & 0xffffffffL)
+  @inline private def unpackX(p: Long): Long = p >> 32
+  @inline private def unpackY(p: Long): Long = (p << 32) >> 32
+
   private def node(segs0: ArrayBuffer[SegM]): ArrayBuffer[SegM] = {
     var segs = segs0.filter(s => s.ax != s.bx || s.ay != s.by)
+    // Pass-incremental noding: a pair of segments BOTH unchanged since the
+    // previous pass was already tested there and found split-free, and
+    // unchanged geometry cannot develop a new crossing — so later passes
+    // only pay exact predicates for pairs touching a freshly-split piece.
+    // On crossing-dense inputs this drops the per-pass cost from
+    // all-overlapping-pairs to pairs-near-the-previous-pass's-splits.
+    var fresh = Array.fill(segs.length)(true)
     var pass = 0
     var changed = true
     // Iterate to a fixed point (a pass that detects no pending split).
@@ -143,14 +400,38 @@ object Arrangement {
     while (changed && pass < maxPasses) {
       changed = false
       pass += 1
-      val splits = Array.fill(segs.length)(ArrayBuffer[(Long, Long)]())
+      // split points per segment, packed (x<<32|y); linear-scan dedup for
+      // short lists, lazily promoted to a LongSet once a segment collects
+      // many splits (a trunk segment crossed by thousands pays O(1), not
+      // O(splits) per membership test)
+      val splits = new Array[ArrayBuffer[Long]](segs.length)
+      val splitSets = new Array[LongSet](segs.length)
+      @inline def addSplit(i: Int, x: Long, y: Long): Unit = {
+        val p = packPt(x, y)
+        var buf = splits(i)
+        if (buf == null) { buf = new ArrayBuffer[Long](4); splits(i) = buf }
+        if (splitSets(i) != null) {
+          if (splitSets(i).add(p)) { buf += p; changed = true }
+        } else if (buf.length >= 24) {
+          val set = new LongSet(64)
+          var k = 0
+          while (k < buf.length) { set.add(buf(k)); k += 1 }
+          splitSets(i) = set
+          if (set.add(p)) { buf += p; changed = true }
+        } else {
+          var k = 0
+          var dup = false
+          while (k < buf.length && !dup) { dup = buf(k) == p; k += 1 }
+          if (!dup) { buf += p; changed = true }
+        }
+      }
       // exact-on-segment points (endpoint touches, collinear overlaps)
       @inline def addSplitOn(i: Int, x: Long, y: Long): Unit = {
         val s = segs(i)
         if (!((x == s.ax && y == s.ay) || (x == s.bx && y == s.by)) &&
           onSeg(s.ax, s.ay, s.bx, s.by, x, y) &&
           orient(s.ax, s.ay, s.bx, s.by, x, y) == 0) {
-          if (!splits(i).contains((x, y))) { splits(i) += ((x, y)); changed = true }
+          addSplit(i, x, y)
         }
       }
       // rounded CROSSING points: almost never exactly on the integer line —
@@ -162,10 +443,11 @@ object Arrangement {
         if (!((x == s.ax && y == s.ay) || (x == s.bx && y == s.by)) &&
           x >= math.min(s.ax, s.bx) - 2 && x <= math.max(s.ax, s.bx) + 2 &&
           y >= math.min(s.ay, s.by) - 2 && y <= math.max(s.ay, s.by) + 2) {
-          if (!splits(i).contains((x, y))) { splits(i) += ((x, y)); changed = true }
+          addSplit(i, x, y)
         }
       }
       def testPair(i: Int, j: Int): Unit = {
+        if (!fresh(i) && !fresh(j)) return
         val s1 = segs(i); val s2 = segs(j)
         // bbox reject
         if (!(math.max(s1.ax, s1.bx) < math.min(s2.ax, s2.bx) ||
@@ -198,7 +480,7 @@ object Arrangement {
           }
         }
       }
-      if (segs.length <= 512) {
+      if (segs.length <= 512 && noderMode != 2) {
         // small inputs: straight all-pairs
         var i = 0
         while (i < segs.length) {
@@ -206,6 +488,9 @@ object Arrangement {
           while (j < segs.length) { testPair(i, j); j += 1 }
           i += 1
         }
+      } else if (noderMode == 2 ||
+        (noderMode == 0 && segs.length >= SweepThreshold)) {
+        sweepPairs(segs)(testPair)
       } else {
         // uniform-grid candidate pruning: segments bucket by the bbox
         // cells they touch; only pairs sharing a cell are tested (each
@@ -276,14 +561,17 @@ object Arrangement {
           cellsOf(segs(i))(key => buckets.getOrElseUpdate(key, ArrayBuffer[Int]()) += i)
           i += 1
         }
-        val seen = new java.util.HashSet[Long]()
+        val seen = new LongSet(segs.length * 4)
         buckets.valuesIterator.foreach { ids =>
           var a = 0
           while (a < ids.length) {
             var b = a + 1
             while (b < ids.length) {
               val i0 = math.min(ids(a), ids(b)); val j0 = math.max(ids(a), ids(b))
-              if (seen.add(i0.toLong * Int.MaxValue + j0)) testPair(i0, j0)
+              // fresh check before the dedup set: old-old pairs were
+              // already tested in the pass that created them
+              if ((fresh(i0) || fresh(j0)) &&
+                seen.add(i0.toLong * Int.MaxValue + j0)) testPair(i0, j0)
               b += 1
             }
             a += 1
@@ -292,26 +580,44 @@ object Arrangement {
       }
       if (changed) {
         val next = ArrayBuffer[SegM]()
+        val nextFresh = ArrayBuffer[Boolean]()
         var i = 0
         while (i < segs.length) {
           val s = segs(i)
-          if (splits(i).isEmpty) next += s
+          val buf = splits(i)
+          if (buf == null || buf.isEmpty) { next += s; nextFresh += false }
           else {
-            // order split points along the segment
-            val pts = ((s.ax, s.ay) +: splits(i).sortBy { case (x, y) =>
-              val dx = x - s.ax; val dy = y - s.ay
-              dx * (s.bx - s.ax) + dy * (s.by - s.ay) // projection, exact order
-            } :+ (s.bx, s.by)).distinct
+            // order split points along the segment by exact projection
+            // (primitive parallel sort — no boxing, no buffer copies)
+            val np = buf.length
+            val keys = new Array[Long](np)
+            val pts = new Array[Long](np)
+            val dx = s.bx - s.ax; val dy = s.by - s.ay
             var k = 0
-            while (k < pts.length - 1) {
-              val (x1, y1) = pts(k); val (x2, y2) = pts(k + 1)
-              if (x1 != x2 || y1 != y2) next += new SegM(x1, y1, x2, y2, s.w.clone())
+            while (k < np) {
+              val p = buf(k)
+              keys(k) = (unpackX(p) - s.ax) * dx + (unpackY(p) - s.ay) * dy
+              pts(k) = p
+              k += 1
+            }
+            sortParallel(keys, pts, 0, np - 1)
+            var x1 = s.ax; var y1 = s.ay
+            k = 0
+            while (k <= np) {
+              val x2 = if (k < np) unpackX(pts(k)) else s.bx
+              val y2 = if (k < np) unpackY(pts(k)) else s.by
+              if (x1 != x2 || y1 != y2) {
+                next += new SegM(x1, y1, x2, y2, s.w.clone())
+                nextFresh += true
+                x1 = x2; y1 = y2
+              }
               k += 1
             }
           }
           i += 1
         }
         segs = next
+        fresh = nextFresh.toArray
       }
     }
     // the loop only exits cleanly via a detection pass that found no
@@ -652,6 +958,154 @@ object Arrangement {
     (segs, back)
   }
 
+  /** Winding vectors for ALL cycles with one exact ray cast per dual
+    * connected component plus an O(F + E) breadth-first propagation,
+    * replacing the per-cycle ray cast (which made face classification
+    * O(F·E) — on a dense dissolve arrangement the faces outnumber the
+    * input segments and that quadratic term dominated everything else).
+    *
+    * Propagation rule (the invariant the ray cast itself integrates):
+    * crossing edge e from its right side to its left adds w(e), so
+    * wind(leftFace(e)) = wind(rightFace(e)) + w(e), where for the forward
+    * dart 2e the left face is cid(2e) and the right face is cid(2e+1).
+    * Cycles of one planar connected component form a connected dual graph
+    * (faces adjacent via twin darts), so a single absolute anchor per
+    * component determines every face. The anchor is the component's outer
+    * cycle — the unique cycle with negative signed area (bounded faces
+    * traverse CCW-positive; the areas of all cycles sum to zero) — whose
+    * winding one ray cast computes exactly as before.
+    */
+  private def windAll(g: Graph, cid: Array[Int],
+                      cycs: ArrayBuffer[ArrayBuffer[Int]],
+                      nRegions: Int): Array[Array[Int]] = {
+    val nC = cycs.length
+    val wind = new Array[Array[Int]](nC)
+    val seen = new Array[Boolean](nC)
+    val done = new Array[Boolean](nC)
+    val areas = new Array[Double](nC)
+    var c = 0
+    while (c < nC) { areas(c) = g.area2(cycs(c)); c += 1 }
+    // Pass 1: dual components, each with its outer cycle (unique
+    // negative-area cycle) and the component's bottom-most vertex.
+    val outers = ArrayBuffer[Int]()        // outer cycle id per component
+    val anchorX = ArrayBuffer[Long]()      // bottom-most vertex per component
+    val anchorY = ArrayBuffer[Long]()
+    c = 0
+    while (c < nC) {
+      if (!seen(c)) {
+        val comp = ArrayBuffer[Int](c)
+        seen(c) = true
+        var qi = 0
+        var vx = Long.MaxValue; var vy = Long.MaxValue
+        while (qi < comp.length) {
+          cycs(comp(qi)).foreach { d =>
+            val ty = g.tailY(d); val tx = g.tailX(d)
+            if (ty < vy || (ty == vy && tx < vx)) { vy = ty; vx = tx }
+            val nb = cid(g.twin(d))
+            if (nb >= 0 && !seen(nb)) { seen(nb) = true; comp += nb }
+          }
+          qi += 1
+        }
+        var outer = comp(0)
+        comp.foreach { k => if (areas(k) < areas(outer)) outer = k }
+        outers += outer
+        anchorX += vx; anchorY += vy
+      }
+      c += 1
+    }
+    // Pass 2: absolute winding at each component's outer face. The point
+    // symbolically below-left of the component's bottom-most vertex v is
+    // in its outer face (no component point lies below v), and no edge of
+    // ANY component passes exactly through v (noding splits pass-throughs
+    // and shared vertices merge dual components). Few components → one
+    // exact ray cast each (as before); many components (a dissolve of
+    // thousands of disjoint clusters in one arrangement) → one batched
+    // x-sweep: a downward ray from (vx−ε', vy−ε) crosses edge e iff e's
+    // x-span straddles vx−ε' and e's y at that x is below vy, adding
+    // sign(bx−ax)·w(e) — the same integrand the per-dart ray cast uses.
+    if (outers.length <= 8 || g.nE == 0) {
+      var k = 0
+      while (k < outers.length) {
+        wind(outers(k)) = g.winding(cycs(outers(k))(0), nRegions)
+        k += 1
+      }
+    } else {
+      val nA = outers.length
+      val acc = Array.fill(nA)(new Array[Int](nRegions))
+      // anchors ascending by x (ray at vx−ε': edge active iff minx < vx ≤ maxx)
+      val aOrd = Array.tabulate(nA)(identity)
+      scala.util.Sorting.stableSort(aOrd, (p: Int, q: Int) => anchorX(p) < anchorX(q))
+      val eOrd = Array.tabulate(g.nE)(identity)
+      scala.util.Sorting.stableSort(eOrd, (p: Int, q: Int) =>
+        math.min(g.es(p).ax, g.es(p).bx) < math.min(g.es(q).ax, g.es(q).bx))
+      // active = edges with minx < vx ≤ maxx; expired entries (maxx < vx)
+      // are swap-compacted out during the walk (amortized O(1) each)
+      val active = new java.util.ArrayList[Integer]()
+      var ei = 0
+      var ai = 0
+      while (ai < nA) {
+        val a = aOrd(ai)
+        val vx = anchorX(a); val vy = anchorY(a)
+        while (ei < g.nE &&
+          math.min(g.es(eOrd(ei)).ax, g.es(eOrd(ei)).bx) < vx) {
+          active.add(eOrd(ei)); ei += 1
+        }
+        var t = 0
+        while (t < active.size) {
+          val e: Int = active.get(t)
+          val s = g.es(e)
+          if (math.max(s.ax, s.bx) < vx) { // expired: swap-compact
+            active.set(t, active.get(active.size - 1))
+            active.remove(active.size - 1)
+            ()
+          } else {
+            // y of e at x = vx below vy?  sign((ay−vy)·dx + (vx−ax)·dy)·sign(dx) < 0
+            val dx = s.bx - s.ax; val dy = s.by - s.ay
+            val num = (s.ay - vy) * dx + (vx - s.ax) * dy
+            val below = java.lang.Long.signum(num) * java.lang.Long.signum(dx) < 0
+            if (below) {
+              val den = java.lang.Long.signum(dx)
+              var r = 0
+              while (r < nRegions) { acc(a)(r) += den * s.w(r); r += 1 }
+            }
+            t += 1
+          }
+        }
+        ai += 1
+      }
+      var k = 0
+      while (k < nA) { wind(outers(k)) = acc(k); k += 1 }
+    }
+    // Pass 3: propagate across twin darts within each component.
+    var ci = 0
+    while (ci < outers.length) {
+      val outer = outers(ci)
+      val q = ArrayBuffer[Int](outer)
+      done(outer) = true
+      var qj = 0
+      while (qj < q.length) {
+        val cur = q(qj)
+        cycs(cur).foreach { d =>
+          val nb = cid(g.twin(d))
+          if (nb >= 0 && !done(nb)) {
+            done(nb) = true
+            val e = d >> 1
+            val sgn = if ((d & 1) == 0) 1 else -1
+            // wind(cur) = wind(nb) + sgn·w(e)  ⇒  wind(nb) = wind(cur) − sgn·w(e)
+            val wv = new Array[Int](nRegions)
+            var r = 0
+            while (r < nRegions) { wv(r) = wind(cur)(r) - sgn * g.es(e).w(r); r += 1 }
+            wind(nb) = wv
+            q += nb
+          }
+        }
+        qj += 1
+      }
+      ci += 1
+    }
+    wind
+  }
+
   private def run(rings: Seq[InRing], nRegions: Int,
                   keep: Array[Int] => Boolean,
                   collapsed: ArrayBuffer[InRing] = null): Seq[GPolygon] = {
@@ -663,7 +1117,7 @@ object Arrangement {
     if (g.nE == 0) return Seq.empty
     val (cid, cycs) = g.cycles(_ => true)
     // winding per cycle (face to the left of its darts)
-    val wind = cycs.map(cyc => g.winding(cyc(0), nRegions))
+    val wind = windAll(g, cid, cycs, nRegions)
     val kept = wind.map(keep)
     val selected = new Array[Boolean](2 * g.nE)
     var d = 0
@@ -735,17 +1189,29 @@ object Arrangement {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    var i = 0
-    while (i < items.length) {
-      var j = i + 1
-      while (j < items.length) {
-        if (envs(i).intersects(envs(j))) {
-          val ri = find(i); val rj = find(j)
-          if (ri != rj) parent(ri) = rj
+    if (items.length <= 256) {
+      var i = 0
+      while (i < items.length) {
+        var j = i + 1
+        while (j < items.length) {
+          if (envs(i).intersects(envs(j))) {
+            val ri = find(i); val rj = find(j)
+            if (ri != rj) parent(ri) = rj
+          }
+          j += 1
         }
-        j += 1
+        i += 1
       }
-      i += 1
+    } else {
+      // large dissolve groups: the O(n²) all-pairs envelope test would
+      // dominate (10k features = 5·10⁷ checks); the box sweep reports
+      // exactly the overlapping envelope pairs in O((n + k) log n)
+      boxSweep(items.length,
+        envs.map(_.minX).toArray, envs.map(_.maxX).toArray,
+        envs.map(_.minY).toArray, envs.map(_.maxY).toArray) { (i, j) =>
+        val ri = find(i); val rj = find(j)
+        if (ri != rj) parent(ri) = rj
+      }
     }
     val byComp = items.indices.groupBy(find)
     byComp.valuesIterator.flatMap { idxs =>

@@ -23,6 +23,14 @@ object FuzzWide {
     GPolygon(Array(GLine(pts ++ Array(pts(0), pts(1)))))
   }
   def main(args: Array[String]): Unit = {
+    // `sweep` forces the Bentley–Ottmann-style enumerator for every
+    // fixture (they're below the auto threshold), `grid` forces the
+    // uniform grid; default exercises the production auto dispatch.
+    args.headOption match {
+      case Some("sweep") => Arrangement.noderMode = 2
+      case Some("grid")  => Arrangement.noderMode = 1
+      case _             => ()
+    }
     var bad = 0
     for (seed <- 1 to 500) {
       val a = star(seed * 2 + 1, 0, 0)
