@@ -34,8 +34,8 @@ object SrsParse {
         byEpsg(key.toInt).getOrElse(
           throw new IllegalArgumentException(s"unknown EPSG code $key"))
       else if (key.startsWith("+")) fromProj4(key)
-      else if (key.toUpperCase.startsWith("PROJCS") ||
-               key.toUpperCase.startsWith("GEOGCS")) fromWkt(key)
+      else if (Seq("PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS", "GEODCRS",
+        "BOUNDCRS").exists(key.toUpperCase.startsWith)) fromWkt(key)
       else throw new IllegalArgumentException(
         s"unrecognized SRS definition: '${key.take(60)}'")
     cache.put(key, crs)
@@ -184,9 +184,22 @@ object SrsParse {
           args += s.substring(pos + 1, end)
           pos = end + 1
         case c if c.isLetter =>
-          val (child, np) = parseWktNode(s, pos)
-          args += child
-          pos = np
+          // identifier: a child node if followed by '[' (WKT1 and WKT2
+          // both), else a bare enum keyword (WKT2 AXIS directions like
+          // `east`, `north`)
+          val idStart = pos
+          var e = pos
+          while (e < s.length && (s(e).isLetterOrDigit || s(e) == '_')) e += 1
+          var ws = e
+          while (ws < s.length && s(ws).isWhitespace) ws += 1
+          if (ws < s.length && s(ws) == '[') {
+            val (child, np) = parseWktNode(s, pos)
+            args += child
+            pos = np
+          } else {
+            args += s.substring(idStart, e)
+            pos = e
+          }
         case _ =>
           val numEnd = {
             var e = pos
@@ -207,6 +220,12 @@ object SrsParse {
         val (ell, toWgs) = geogcsDatum(root)
         Crs(authorityOf(root), Geographic(ell), toWgs)
       case "PROJCS" => projcs(root)
+      // WKT2 (ISO 19162) roots — `ogr_srs_api` importFromWkt accepts both
+      // generations; so do we
+      case "GEOGCRS" | "GEODCRS" =>
+        Crs(idOf(root), Geographic(ellipsoid2(root)), None)
+      case "PROJCRS" => projcrs2(root, None)
+      case "BOUNDCRS" => boundcrs2(root)
       case other => throw new IllegalArgumentException(s"unsupported WKT root $other")
     }
   }
@@ -274,5 +293,145 @@ object SrsParse {
         s"""unsupported PROJECTION["$other"]""")
     }
     Crs(authorityOf(projcs), p, toWgs)
+  }
+
+  // --------------------------------------------------------------- WKT2
+  // ISO 19162 / "WKT2-2019" — PROJCRS/GEOGCRS/BOUNDCRS roots with
+  // CONVERSION[METHOD[…], PARAMETER[…]] and EPSG long parameter names.
+  // The reference accepts both WKT generations through the same
+  // importFromWkt entry point (`ogr/ogrspatialreference.cpp`).
+
+  /** WKT2 ID["EPSG", n] (replaces WKT1 AUTHORITY). */
+  private def idOf(n: WNode): Int =
+    n.children("ID").collectFirst {
+      case id if id.args.length >= 2 && id.str(0).equalsIgnoreCase("EPSG") =>
+        id.args(1) match {
+          case d: Double => d.toInt
+          case s2: String => s2.toInt
+          case o => throw new IllegalArgumentException(s"bad ID code $o")
+        }
+    }.getOrElse(0)
+
+  /** Parameter value in kernel units (degrees / metres): converts via the
+    * inline ANGLEUNIT factor (degree recognised exactly so values stay
+    * bit-identical with the PROJ.4 path), requires metre lengths and
+    * unity scales.
+    */
+  private def paramVal2(p: WNode): Double = {
+    val v = p.dbl(1)
+    p.child("ANGLEUNIT") match {
+      case Some(u) =>
+        val f = u.dbl(1)
+        if (math.abs(f - math.Pi / 180) < 1e-12) v // degrees: exact
+        else v * f * 180.0 / math.Pi // radian/grad/arc-second etc.
+      case None =>
+        p.child("LENGTHUNIT").foreach(u =>
+          require(math.abs(u.dbl(1) - 1.0) < 1e-9,
+            s"only metre parameters supported (got ${u.str(0)})"))
+        p.child("SCALEUNIT").foreach(u =>
+          require(math.abs(u.dbl(1) - 1.0) < 1e-9,
+            s"only unity scale parameters supported (got ${u.str(0)})"))
+        v
+    }
+  }
+
+  /** Ellipsoid of a WKT2 geographic node (DATUM / TRF / datum ENSEMBLE). */
+  private def ellipsoid2(geog: WNode): Ellipsoid = {
+    val datum = geog.child("DATUM").orElse(geog.child("TRF"))
+      .orElse(geog.child("ENSEMBLE")).getOrElse(
+        throw new IllegalArgumentException(s"${geog.name} without DATUM/ENSEMBLE"))
+    val e = datum.child("ELLIPSOID").orElse(datum.child("SPHEROID")).getOrElse(
+      throw new IllegalArgumentException("datum without ELLIPSOID"))
+    e.child("LENGTHUNIT").foreach(u =>
+      require(math.abs(u.dbl(1) - 1.0) < 1e-9, "only metre ellipsoid axes supported"))
+    geog.child("PRIMEM").foreach(pm =>
+      require(pm.dbl(1) == 0.0, "only Greenwich prime meridian supported"))
+    Ellipsoid(e.dbl(1), e.dbl(2))
+  }
+
+  private def projcrs2(root: WNode, toWgs: Option[Helmert]): Crs = {
+    val base = root.child("BASEGEOGCRS").orElse(root.child("BASEGEODCRS")).getOrElse(
+      throw new IllegalArgumentException("PROJCRS without BASEGEOGCRS"))
+    val ell = ellipsoid2(base)
+    val conv = root.child("CONVERSION").getOrElse(
+      throw new IllegalArgumentException("PROJCRS without CONVERSION"))
+    val method = conv.child("METHOD").getOrElse(
+      throw new IllegalArgumentException("CONVERSION without METHOD"))
+    val methodCode = idOf(method)
+    val params: Map[String, Double] = conv.children("PARAMETER")
+      .map(p => p.str(0).toLowerCase -> paramVal2(p)).toMap
+    def pr(k: String, default: Double): Double = params.getOrElse(k, default)
+    val p: Projection = (method.str(0).toLowerCase, methodCode) match {
+      case (m, c) if c == 9807 || m == "transverse mercator" =>
+        TMerc(ell, pr("longitude of natural origin", 0),
+          pr("latitude of natural origin", 0),
+          pr("scale factor at natural origin", 1.0),
+          pr("false easting", 0), pr("false northing", 0))
+      case (m, c) if c == 9802 || m.startsWith("lambert conic conformal (2sp") =>
+        Lcc2SP(ell, pr("latitude of 1st standard parallel", 0),
+          pr("latitude of 2nd standard parallel",
+            pr("latitude of 1st standard parallel", 0)),
+          pr("latitude of false origin", 0), pr("longitude of false origin", 0),
+          pr("easting at false origin", 0), pr("northing at false origin", 0))
+      case (m, c) if c == 9801 || m.startsWith("lambert conic conformal (1sp") =>
+        val k0 = pr("scale factor at natural origin", 1.0)
+        require(k0 == 1.0, "Lambert Conic Conformal (1SP) with k0≠1 unsupported")
+        val lat0 = pr("latitude of natural origin", 0)
+        Lcc2SP(ell, lat0, lat0, lat0, pr("longitude of natural origin", 0),
+          pr("false easting", 0), pr("false northing", 0))
+      case (m, c) if c == 9810 || m.startsWith("polar stereographic (variant a") =>
+        val lat0 = pr("latitude of natural origin", 90)
+        require(math.abs(lat0) >= 90 - 1e-9,
+          s"polar stereographic variant A needs lat_0=±90 (got $lat0)")
+        PolarStereo(ell, lat0, pr("longitude of natural origin", 0),
+          pr("scale factor at natural origin", 1.0),
+          pr("false easting", 0), pr("false northing", 0), south = lat0 < 0)
+      case (m, c) if c == 9829 || m.startsWith("polar stereographic (variant b") =>
+        val latTs = pr("latitude of standard parallel", 90)
+        PolarStereo(ell, latTs, pr("longitude of origin", 0), 1.0,
+          pr("false easting", 0), pr("false northing", 0), south = latTs < 0)
+      case (m, c) if c == 9820 || m == "lambert azimuthal equal area" =>
+        Laea(ell, pr("latitude of natural origin", 0),
+          pr("longitude of natural origin", 0),
+          pr("false easting", 0), pr("false northing", 0))
+      case (m, c) if c == 9822 || m == "albers equal area" =>
+        Aea(ell, pr("latitude of 1st standard parallel", 29.5),
+          pr("latitude of 2nd standard parallel", 45.5),
+          pr("latitude of false origin", 0), pr("longitude of false origin", 0),
+          pr("easting at false origin", 0), pr("northing at false origin", 0))
+      case (other, code) => throw new IllegalArgumentException(
+        s"""unsupported WKT2 METHOD["$other"] (EPSG $code)""")
+    }
+    Crs(idOf(root), p, toWgs)
+  }
+
+  /** WKT2 BOUNDCRS: SOURCECRS + ABRIDGEDTRANSFORMATION (the WKT2 spelling
+    * of WKT1's TOWGS84 — translations in metres, rotations in arc-seconds,
+    * scale difference in ppm, same as `+towgs84`).
+    */
+  private def boundcrs2(root: WNode): Crs = {
+    val srcNode = root.child("SOURCECRS").flatMap(_.args.collectFirst {
+      case c: WNode => c
+    }).getOrElse(throw new IllegalArgumentException("BOUNDCRS without SOURCECRS"))
+    val h = root.child("ABRIDGEDTRANSFORMATION").map { tr =>
+      val p: Map[String, Double] = tr.children("PARAMETER")
+        .map(q => q.str(0).toLowerCase -> q.dbl(1)).toMap
+      def g(k: String): Double = p.getOrElse(k, 0.0)
+      // abridged transformations write the scale difference as the ratio
+      // (1 + dS·1e-6); plain ppm values are tiny, ratios are ≈1
+      val dsRaw = g("scale difference")
+      val ds = if (math.abs(dsRaw) > 0.9) (dsRaw - 1.0) * 1e6 else dsRaw
+      Helmert(g("x-axis translation"), g("y-axis translation"),
+        g("z-axis translation"), g("x-axis rotation"), g("y-axis rotation"),
+        g("z-axis rotation"), ds)
+    }.filter(hh => !(hh.tx == 0 && hh.ty == 0 && hh.tz == 0 && hh.rx == 0 &&
+      hh.ry == 0 && hh.rz == 0 && hh.ds == 0))
+    srcNode.name.toUpperCase match {
+      case "PROJCRS" => projcrs2(srcNode, h)
+      case "GEOGCRS" | "GEODCRS" =>
+        Crs(idOf(srcNode), Geographic(ellipsoid2(srcNode)), h)
+      case other => throw new IllegalArgumentException(
+        s"unsupported BOUNDCRS source $other")
+    }
   }
 }

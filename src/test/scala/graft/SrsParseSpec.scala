@@ -113,4 +113,115 @@ class SrsParseSpec extends AnyFunSuite {
     }
     assert(checked == 12)
   }
+  // ------------------------------------------------------------- WKT2
+
+  test("WKT2 PROJCRS UTM with AXIS keywords matches the EPSG table") {
+    val wkt2 = """PROJCRS["WGS 84 / UTM zone 31N",
+      BASEGEOGCRS["WGS 84",
+        DATUM["World Geodetic System 1984",
+          ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],
+        PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],
+      CONVERSION["UTM zone 31N",
+        METHOD["Transverse Mercator",ID["EPSG",9807]],
+        PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],
+        PARAMETER["Longitude of natural origin",3,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8802]],
+        PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1],ID["EPSG",8805]],
+        PARAMETER["False easting",500000,LENGTHUNIT["metre",1],ID["EPSG",8806]],
+        PARAMETER["False northing",0,LENGTHUNIT["metre",1],ID["EPSG",8807]]],
+      CS[Cartesian,2],
+        AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],
+        AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],
+      ID["EPSG",32631]]"""
+    val c = SrsParse.parse(wkt2)
+    assert(c.epsg == 32631)
+    val t = Proj.byEpsg(32631).get
+    for ((lon, lat) <- Seq((2.3522, 48.8566), (5.37, 43.30))) {
+      val (x1, y1) = Proj.transformPoint(wgs84, c, lon, lat)
+      val (x2, y2) = Proj.transformPoint(wgs84, t, lon, lat)
+      assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9)
+    }
+  }
+
+  test("WKT2 BOUNDCRS (abridged Helmert) matches the WKT1 TOWGS84 path") {
+    val wkt2 = """BOUNDCRS[
+      SOURCECRS[PROJCRS["BNG",
+        BASEGEOGCRS["OSGB36",
+          DATUM["OSGB 1936",
+            ELLIPSOID["Airy 1830",6377563.396,299.3249646,LENGTHUNIT["metre",1]]]],
+        CONVERSION["British National Grid",
+          METHOD["Transverse Mercator",ID["EPSG",9807]],
+          PARAMETER["Latitude of natural origin",49],
+          PARAMETER["Longitude of natural origin",-2],
+          PARAMETER["Scale factor at natural origin",0.9996012717],
+          PARAMETER["False easting",400000],
+          PARAMETER["False northing",-100000]],
+        ID["EPSG",27700]]],
+      TARGETCRS[GEOGCRS["WGS 84",
+        DATUM["World Geodetic System 1984",
+          ELLIPSOID["WGS 84",6378137,298.257223563]],ID["EPSG",4326]]],
+      ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84",
+        METHOD["Position Vector transformation",ID["EPSG",9606]],
+        PARAMETER["X-axis translation",446.448],
+        PARAMETER["Y-axis translation",-125.157],
+        PARAMETER["Z-axis translation",542.06],
+        PARAMETER["X-axis rotation",0.1502],
+        PARAMETER["Y-axis rotation",0.247],
+        PARAMETER["Z-axis rotation",0.8421],
+        PARAMETER["Scale difference",0.9999795106]]]"""
+    val c2 = SrsParse.parse(wkt2)
+    val c1 = SrsParse.parse(srsDefs("bngwkt"))
+    for ((lon, lat) <- Seq((-0.1276, 51.5072), (-3.1883, 55.9533))) {
+      val (x1, y1) = Proj.transformPoint(wgs84, c2, lon, lat)
+      val (x2, y2) = Proj.transformPoint(wgs84, c1, lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6,
+        s"($x1,$y1) vs ($x2,$y2)")
+    }
+  }
+
+  test("WKT2 LCC 2SP by method code matches the proj4 definition") {
+    val wkt2 = """PROJCRS["SPCS-ish",
+      BASEGEOGCRS["NAD83",
+        DATUM["North American Datum 1983",
+          ELLIPSOID["GRS 1980",6378137,298.257222101]]],
+      CONVERSION["LCC",
+        METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],
+        PARAMETER["Latitude of 1st standard parallel",34.0333],
+        PARAMETER["Latitude of 2nd standard parallel",35.4666],
+        PARAMETER["Latitude of false origin",33.5],
+        PARAMETER["Longitude of false origin",-118],
+        PARAMETER["Easting at false origin",2000000],
+        PARAMETER["Northing at false origin",500000]]]"""
+    val c2 = SrsParse.parse(wkt2)
+    val c1 = SrsParse.parse(srsDefs("spcs"))
+    for ((lon, lat) <- Seq((-118.24, 34.05), (-119.70, 34.42))) {
+      val (x1, y1) = Proj.transformPoint(wgs84, c2, lon, lat)
+      val (x2, y2) = Proj.transformPoint(wgs84, c1, lon, lat)
+      assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9)
+    }
+  }
+
+  test("WKT2 GEOGCRS root and polar stereographic variant B") {
+    val g = SrsParse.parse("""GEOGCRS["WGS 84",
+      ENSEMBLE["World Geodetic System 1984 ensemble",
+        MEMBER["World Geodetic System 1984 (G2296)"],
+        ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],
+        ENSEMBLEACCURACY[2.0]],
+      CS[ellipsoidal,2],
+        AXIS["geodetic latitude (Lat)",north,ANGLEUNIT["degree",0.0174532925199433]],
+        AXIS["geodetic longitude (Lon)",east,ANGLEUNIT["degree",0.0174532925199433]],
+      ID["EPSG",4326]]""")
+    assert(g.epsg == 4326 && g.proj.isInstanceOf[Proj.Geographic])
+    val psB = SrsParse.parse("""PROJCRS["NSIDC-ish",
+      BASEGEOGCRS["WGS 84",
+        DATUM["World Geodetic System 1984",
+          ELLIPSOID["WGS 84",6378137,298.257223563]]],
+      CONVERSION["Polar Stereographic",
+        METHOD["Polar Stereographic (variant B)",ID["EPSG",9829]],
+        PARAMETER["Latitude of standard parallel",71],
+        PARAMETER["Longitude of origin",-39]]]""")
+    val p4 = SrsParse.parse(srsDefs("gls"))
+    val (x1, y1) = Proj.transformPoint(wgs84, psB, -51.7, 64.18)
+    val (x2, y2) = Proj.transformPoint(wgs84, p4, -51.7, 64.18)
+    assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9)
+  }
 }
