@@ -158,29 +158,36 @@ object ScalingBench {
     val levels = singleLevel.map(Seq(_)).getOrElse(Seq(8, 32))
     val writeMode = args.length > 2 && args(2) == "write"
 
+    // warmup seconds per level: JIT maturity tracks wall-clock, so a
+    // fixed-count warmup would under-warm the faster level. Tunable so a
+    // full pair can fit inside one quiet window on a noisy host (the
+    // mid-pair DRAM-ceiling collapses of r3/r4 corrupted several pairs).
+    val warmupSec = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SEC", "75").toInt
     val results = levels.map { cpus =>
+      // in-JVM window gauge around each level: per-thread DRAM bandwidth
+      // at 8 busy threads, the most load-sensitive single number on this
+      // host. A pair is only as honest as both levels' gauges.
+      val gaugeBefore = memPerThreadSpeed(8)
       val spark = session(cpus)
-      // time-based warmup: JIT maturity tracks wall-clock, so a fixed-count
-      // warmup would under-warm the faster level. Run until 75 s elapsed
-      // (min 3 runs), then measure best-of-5.
       var runId = 0L
       def onceTimed(): (Double, Long) =
         if (writeMode) { runId += 1; timedRunWrite(spark, pagesPath, runId) }
         else timedRun(spark, pagesPath)
       val warmStart = System.nanoTime()
       var warmRuns = 0
-      while (warmRuns < 3 || (System.nanoTime() - warmStart) < 75e9) {
+      while (warmRuns < 3 || (System.nanoTime() - warmStart) < warmupSec * 1e9) {
         onceTimed()
         warmRuns += 1
       }
       val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
       val runs = (1 to nRuns).map(_ => onceTimed())
       spark.stop()
+      val gaugeAfter = memPerThreadSpeed(8)
       val rows = runs.head._2
       val sec = runs.map(_._1).min // best (steady-state throughput claim)
       val tput = nPages / sec
-      println(f"[scaling] local[$cpus%2d]: best $sec%7.2f s  $tput%10.0f pages/s  (runs: ${runs.map(r => f"${r._1}%.2f").mkString(", ")}; $rows rows)")
-      println(f"""{"metric":"level_throughput","mode":"${if (writeMode) "write" else "count"}","cpus":$cpus,"pages":$nPages,"sec":$sec%.2f,"pages_per_sec":$tput%.0f,"out_rows":$rows}""")
+      println(f"[scaling] local[$cpus%2d]: best $sec%7.2f s  $tput%10.0f pages/s  (runs: ${runs.map(r => f"${r._1}%.2f").mkString(", ")}; $rows rows; dram8 gauge ${gaugeBefore / 1e6}%.0f→${gaugeAfter / 1e6}%.0f Mw/s)")
+      println(f"""{"metric":"level_throughput","mode":"${if (writeMode) "write" else "count"}","cpus":$cpus,"pages":$nPages,"sec":$sec%.2f,"pages_per_sec":$tput%.0f,"out_rows":$rows,"dram8_before":${gaugeBefore}%.0f,"dram8_after":${gaugeAfter}%.0f}""")
       (cpus, sec, tput, rows)
     }
     assert(results.map(_._4).distinct.size == 1, "outputs differ across parallelism levels!")
