@@ -56,7 +56,10 @@ object ScalingBench {
     */
   private def timedRunWrite(spark: SparkSession, pagesPath: String,
                             runId: Long): (Double, Long) = {
-    val outDir = s"/tmp/graft_scaling_out/$runId"
+    // SPARK_GRAFT_WRITE_DIR=/dev/shm/... isolates the engine from the
+    // sandbox's single shared disk (a real cluster has per-executor disks)
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_WRITE_DIR", "/tmp/graft_scaling_out")
+    val outDir = s"$outBase/$runId"
     val cfg = graft.jobs.Pipeline.Config(outDir = outDir, nBatches = 1)
     val t0 = System.nanoTime()
     val res = graft.jobs.Pipeline.run(spark, spark.read.parquet(pagesPath),
