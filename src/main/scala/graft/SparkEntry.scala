@@ -877,6 +877,29 @@ object SparkEntry {
         .select(col("name"), gf.st_numgeometries(col("f")).as("n_faces"),
           round(gf.st_area(col("f")), 4).as("area_r"))
     }),
+    "q_makevalid" -> ((s, d) => {
+      import s.implicits._
+      // invalid-geometry repair (GEOS MakeValid contract; the snapshot's
+      // OGR exposes IsValid, ogrgeometry.cpp:1905, and later versions
+      // adopt exactly this repair): closed-form fixtures where LINEWORK
+      // (even-odd) and STRUCTURE (nonzero) differ predictably
+      val overlap = "MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0))," +
+        "((1 0,3 0,3 2,1 2,1 0)))"
+      Seq(
+        ("bowtie", "POLYGON((0 0,2 2,2 0,0 2,0 0))", "LINEWORK"),
+        ("bad_hole", "POLYGON((0 0,10 0,10 10,0 10,0 0)," +
+          "(2 2,8 2,8 8,2 8,2 2))", "LINEWORK"),
+        ("hole_out", "POLYGON((0 0,4 0,4 4,0 4,0 0)," +
+          "(3 1,5 1,5 3,3 3,3 1))", "LINEWORK"),
+        ("overlap_lw", overlap, "LINEWORK"),
+        ("overlap_st", overlap, "STRUCTURE"))
+        .toDF("name", "wkt", "method")
+        .select(col("name"),
+          gf.st_makevalid(gf.st_geomfromtext(col("wkt")), col("method")).as("f"))
+        .select(col("name"), gf.st_numgeometries(col("f")).as("n_faces"),
+          round(gf.st_area(col("f")), 4).as("area_r"))
+        .orderBy(col("name"))
+    }),
     "q_buffer_concave" -> ((s, d) => {
       import s.implicits._
       // exact concave buffer via the capsule-union arrangement. The
@@ -1884,6 +1907,14 @@ object SparkEntry {
         |  ('grid', 9, CAST(9.0 AS DOUBLE)),
         |  ('donut', 2, CAST(36.0 AS DOUBLE)),
         |  ('dangle', 1, CAST(4.0 AS DOUBLE)))
+        |AS t(name, n_faces, area_r)""".stripMargin,
+    "q_makevalid" ->
+      """SELECT * FROM (VALUES
+        |  ('bad_hole', 1, CAST(64.0 AS DOUBLE)),
+        |  ('bowtie', 2, CAST(2.0 AS DOUBLE)),
+        |  ('hole_out', 2, CAST(16.0 AS DOUBLE)),
+        |  ('overlap_lw', 2, CAST(4.0 AS DOUBLE)),
+        |  ('overlap_st', 1, CAST(6.0 AS DOUBLE)))
         |AS t(name, n_faces, area_r)""".stripMargin,
     "q_buffer_concave" ->
       """SELECT 1 AS ok_dilate, CAST(16.0 AS DOUBLE) AS area_erode,

@@ -1356,4 +1356,39 @@ object Arrangement {
     val back = (ix: Long, iy: Long) => (ix / 2.0 / scale + minX, iy / 2.0 / scale + minY)
     emit(g, cycs, cid, all, back)
   }
+
+  /** Repair an invalid areal geometry (bowties, crossing or wrongly
+    * oriented rings, holes outside shells, overlapping multipolygon
+    * members) into a valid (multi)polygon over the snap-rounded
+    * arrangement. Two methods, matching GEOS MakeValid (the engine behind
+    * OGR validity — this reference snapshot exposes IsValid,
+    * `ogr/ogrgeometry.cpp:1905`, but predates OGR_G_MakeValid; semantics
+    * here follow the GEOS/PostGIS contract its later versions adopt):
+    *
+    *  - `structure = false` (LINEWORK, the GEOS default): every ring is
+    *    undirected linework; a face is kept iff it is covered by an ODD
+    *    number of rings (with ±1 ring weights, winding parity ≡ crossing
+    *    parity, so the even-odd rule needs no orientation normalization).
+    *  - `structure = true` (STRUCTURE): shells are normalized CCW (+1),
+    *    holes CW (−1), and a face is kept iff its winding is nonzero —
+    *    overlapping members union instead of cancelling.
+    *
+    * Non-areal geometries are returned as-is (point/line validity does
+    * not depend on ring topology). Returns None when no face survives
+    * (fully degenerate input).
+    */
+  def makeValid(g: Geom, structure: Boolean = false): Option[Geom] = {
+    def hasArea(x: Geom): Boolean = x match {
+      case _: GPolygon => true
+      case m: GMulti => m.geoms.exists(hasArea)
+      case _ => false
+    }
+    if (!hasArea(g)) return Some(g)
+    val bld = new Builder(1)
+    if (structure) bld.addGeomOriented(g, 0) else bld.addGeom(g, 0)
+    val faces = bld.result(w => if (structure) w(0) != 0 else (w(0) & 1) != 0)
+    if (faces.isEmpty) None
+    else if (faces.length == 1) Some(faces.head)
+    else Some(GMulti(6, faces.toArray[Geom]))
+  }
 }

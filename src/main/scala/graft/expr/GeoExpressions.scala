@@ -594,6 +594,14 @@ object GeoFn {
   }
   def simplifyPT(b: Array[Byte], t: Double): Array[Byte] =
     Geom.toWkb(graft.core.GeomBuild.simplifyPreserveTopology(GeoRt.decode(b), t))
+  def makeValid(b: Array[Byte], method: UTF8String): Array[Byte] = {
+    val structure = method != null && method.toString.equalsIgnoreCase("STRUCTURE")
+    require(structure || method == null ||
+      method.toString.equalsIgnoreCase("LINEWORK"),
+      s"st_makevalid: unknown METHOD '$method' (LINEWORK or STRUCTURE)")
+    graft.core.Arrangement.makeValid(GeoRt.decode(b), structure)
+      .map(Geom.toWkb).orNull
+  }
   def polygonize(b: Array[Byte]): Array[Byte] = {
     val lines = scala.collection.mutable.ArrayBuffer[graft.core.GLine]()
     def collect(g: Geom): Unit = g match {
@@ -731,6 +739,29 @@ case class StPolygonize(child: Expression) extends UnaryExpression {
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "st_polygonize"
+}
+
+/** st_makevalid(wkb[, method]) -> wkb — repair invalid areal geometry
+  * through the snap-rounded arrangement. method = 'LINEWORK' (default,
+  * even-odd over ring linework) or 'STRUCTURE' (nonzero winding over
+  * oriented rings). NULL when nothing survives. See
+  * [[graft.core.Arrangement.makeValid]].
+  */
+case class StMakeValid(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, m: Any): Any =
+    GeoFn.makeValid(b.asInstanceOf[Array[Byte]], m.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, m) => {
+      s"""byte[] ${ev.value}Tmp = graft.expr.GeoFn.makeValid($b, $m);
+         |if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Tmp; }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_makevalid"
 }
 
 /** OGR feature-style introspection (`ogr/ogrfeaturestyle.cpp` — the

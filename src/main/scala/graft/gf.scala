@@ -58,6 +58,9 @@ object gf {
   def st_simplify_preserve_topology(g: Column, tol: Column): Column =
     col(StSimplifyPT(x(g), x(tol.cast("double"))))
   def st_polygonize(g: Column): Column = col(StPolygonize(x(g)))
+  def st_makevalid(g: Column): Column = col(StMakeValid(x(g), x(lit("LINEWORK"))))
+  def st_makevalid(g: Column, method: Column): Column =
+    col(StMakeValid(x(g), x(method.cast("string"))))
   def st_numpoints(g: Column): Column = col(StNumPoints(x(g)))
   def st_centroid(g: Column): Column = col(StCentroid(x(g)))
   def st_asgeojson(g: Column): Column = col(StAsGeoJson(x(g)))
@@ -175,6 +178,9 @@ object gf {
     r1("st_simplify", es => StSimplify(es(0), d(es(1))))
     r1("st_simplify_preserve_topology", es => StSimplifyPT(es(0), d(es(1))))
     r1("st_polygonize", es => StPolygonize(es.head))
+    r1("st_makevalid", es => StMakeValid(es.head,
+      if (es.length > 1) es(1)
+      else org.apache.spark.sql.catalyst.expressions.Literal("LINEWORK")))
     r1("st_numpoints", es => StNumPoints(es.head))
     r1("st_centroid", es => StCentroid(es.head))
     r1("st_asgeojson", es => StAsGeoJson(es.head))
