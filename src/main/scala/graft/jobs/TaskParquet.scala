@@ -65,7 +65,13 @@ object TaskParquet {
                             schema: StructType, mt: MessageType) {
     private val factory = new SimpleGroupFactory(mt)
     private val w: ParquetWriter[org.apache.parquet.example.data.Group] =
-      ExampleParquetWriter.builder(path).withConf(conf).withType(mt).build()
+      ExampleParquetWriter.builder(path).withConf(conf).withType(mt)
+        // parquet-mr defaults to UNCOMPRESSED; match Spark's sink default
+        // (at target scale the write path is bandwidth/IO-bound, and
+        // 2-4x smaller files also shrink the restart re-read)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
 
     def add(row: Row): Unit = {
       val g = factory.newGroup()
