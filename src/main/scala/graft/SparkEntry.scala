@@ -1857,9 +1857,9 @@ object SparkEntry {
       // checksum, and real-component statistics)
       """SELECT * FROM (VALUES
         |  ('cs_cfloat32', CAST(63067.0 AS DOUBLE)),
-        |  ('cs_cint16', CAST(63325.0 AS DOUBLE)),
-        |  ('cs_real_int16', CAST(5630.0 AS DOUBLE)),
-        |  ('cs_cint32_promoted', CAST(5828.0 AS DOUBLE)),
+        |  ('cs_cint16', CAST(62939.0 AS DOUBLE)),
+        |  ('cs_real_int16', CAST(5480.0 AS DOUBLE)),
+        |  ('cs_cint32_promoted', CAST(5678.0 AS DOUBLE)),
         |  ('stat_min', CAST(-7.0 AS DOUBLE)),
         |  ('stat_max', CAST(26.0 AS DOUBLE)),
         |  ('stat_mean', CAST(9.5 AS DOUBLE)),

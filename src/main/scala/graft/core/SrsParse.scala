@@ -17,6 +17,11 @@ import Proj._
   */
 object SrsParse {
 
+  // Bounded: st_transform_srs can feed per-row column values, so an
+  // unbounded memo would grow executor heap for the life of the JVM on
+  // high-cardinality SRS columns. Real workloads use a handful of SRSs;
+  // on overflow we drop the whole map (cheap, and refill is just parsing).
+  private val CacheCap = 4096
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Crs]()
 
   /** Dispatch on the definition shape: `EPSG:n` / bare integer → the EPSG
@@ -38,6 +43,7 @@ object SrsParse {
         "BOUNDCRS").exists(key.toUpperCase.startsWith)) fromWkt(key)
       else throw new IllegalArgumentException(
         s"unrecognized SRS definition: '${key.take(60)}'")
+    if (cache.size >= CacheCap) cache.clear()
     cache.put(key, crs)
     crs
   }
@@ -62,8 +68,32 @@ object SrsParse {
       kv.get(k).map(_.toDouble).getOrElse(default)
     def numOpt(k: String): Option[Double] = kv.get(k).map(_.toDouble)
 
+    // Reject keys that would change the result if ignored (fail-loudly
+    // contract): every key is either consumed by the dispatch below,
+    // known-benign, or an error. `+pm=`, `+to_meter=`, `+nadgrids=`,
+    // `+axis=` are accepted only at their identity values.
+    val consumed = Set("proj", "zone", "south", "lat_0", "lat_1", "lat_2",
+      "lat_ts", "lon_0", "k", "k_0", "x_0", "y_0", "a", "b", "rf", "f",
+      "ellps", "datum", "towgs84", "units", "no_defs", "wktext", "type")
+    kv.get("pm").foreach(v => require(v.toLowerCase == "greenwich" || v == "0",
+      s"only the Greenwich prime meridian is supported, got +pm=$v"))
+    kv.get("to_meter").foreach(v => require(v.toDouble == 1.0,
+      s"only meter units supported, got +to_meter=$v"))
+    kv.get("nadgrids").foreach(v => require(v == "@null",
+      s"grid-shift files are unsupported, got +nadgrids=$v"))
+    kv.get("axis").foreach(v => require(v == "enu",
+      s"only the default enu axis order is supported, got +axis=$v"))
+    val unknown = kv.keySet -- consumed -- Set("pm", "to_meter", "nadgrids", "axis")
+    require(unknown.isEmpty,
+      s"unsupported PROJ.4 key(s): ${unknown.toSeq.sorted.map("+" + _).mkString(", ")}")
+
     // ellipsoid: explicit +a/+rf|+b|+f > +ellps > +datum implication > WGS84
     val datum = kv.get("datum").map(_.toLowerCase)
+    datum.foreach { d =>
+      require(Set("wgs84", "nad83", "osgb36").contains(d),
+        s"unsupported +datum=$d (supported: WGS84, NAD83, OSGB36; " +
+          "spell others as +ellps/+a/+rf with +towgs84)")
+    }
     val ell: Ellipsoid = (numOpt("a"), kv.get("ellps")) match {
       case (Some(a), _) =>
         val invF = numOpt("rf").orElse(numOpt("f").map(f => if (f == 0) 0.0 else 1.0 / f))
@@ -121,9 +151,8 @@ object SrsParse {
           throw new IllegalArgumentException("+proj=lcc needs +lat_1="))
         val lat2 = num("lat_2", lat1)
         val k0 = numOpt("k").orElse(numOpt("k_0")).getOrElse(1.0)
-        require(k0 == 1.0 || lat1 == lat2,
+        require(k0 == 1.0,
           "lcc with a scale factor (1SP variant with k0≠1) is unsupported")
-        require(k0 == 1.0, "lcc +k_0≠1 unsupported")
         Lcc2SP(ell, lat1, lat2, num("lat_0", 0), num("lon_0", 0),
           num("x_0", 0), num("y_0", 0))
       case "stere" =>
@@ -235,6 +264,15 @@ object SrsParse {
       .flatMap(a => scala.util.Try(a.str(1).toInt).toOption).getOrElse(0)
 
   private def geogcsDatum(geogcs: WNode): (Ellipsoid, Option[Helmert]) = {
+    // Mirror the WKT2 path's validation: a non-Greenwich PRIMEM or a
+    // non-degree angular UNIT silently ignored would shift every
+    // coordinate (Paris meridian = 2.337°), so both fail loudly.
+    geogcs.child("PRIMEM").foreach(pm =>
+      require(pm.dbl(1) == 0.0,
+        s"only Greenwich prime meridian supported (got PRIMEM ${pm.str(0)})"))
+    geogcs.child("UNIT").foreach(u =>
+      require(math.abs(u.dbl(1) - math.Pi / 180) < 1e-12,
+        s"only degree angular units supported in GEOGCS (got ${u.str(0)})"))
     val datum = geogcs.child("DATUM").getOrElse(
       throw new IllegalArgumentException("GEOGCS without DATUM"))
     val sph = datum.child("SPHEROID").orElse(datum.child("ELLIPSOID")).getOrElse(

@@ -239,6 +239,14 @@ object GraphOps {
         converged = changed == 0L
         iter += 1
       }
+      // maxIter is a safety valve, not a truncation policy: returning the
+      // partial dist would silently yield suboptimal/missing paths on
+      // graphs whose shortest paths exceed maxIter hops (exactly the
+      // long-path networks this scale path exists for)
+      if (!converged) throw new IllegalStateException(
+        s"kShortestPathsDistributed: spur relaxation did not converge in " +
+          s"$maxIter rounds — a shortest path likely exceeds $maxIter hops; " +
+          "raise maxIter")
       dist.filter(col("vertex") === to)
         .select(col("spur"), col("cost"), col("path"))
         .as[(Int, Double, Seq[Long])].collect()
@@ -265,8 +273,10 @@ object GraphOps {
     var ki = 1
     while (ki < k && a.nonEmpty && a.length == ki) {
       val prevPath = a(ki - 1)._2
+      // collect, not map: a single-vertex path (from == to) yields one
+      // undersized sliding window, which a total match would crash on
       val wmap = edgeWeights(
-        prevPath.sliding(2).map { case Vector(u, v) => (u, v) }.toSet)
+        prevPath.sliding(2).collect { case Seq(u, v) => (u, v) }.toSet)
       // one spur spec per prefix of the previous accepted path
       val spurs = (0 until prevPath.length - 1).map(i => (i, prevPath(i)))
       val banN = for {

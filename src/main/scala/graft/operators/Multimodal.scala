@@ -107,9 +107,11 @@ object Multimodal {
     }
 
     /** Real resample: bilinear scale so max(w,h) <= maxSide (no upscale),
-      * re-encoded as PNG. Null on decode failure.
+      * re-encoded as PNG. Returns (pngBytes, width, height); null on
+      * decode failure. Dims ride along so the caller never has to
+      * re-decode the fresh PNG just to read them back.
       */
-    def resize(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
+    def resize(bytes: Array[Byte], maxSide: Int): (Array[Byte], Int, Int) = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: java.io.IOException | _: RuntimeException => null }
@@ -127,7 +129,7 @@ object Multimodal {
       } finally g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bos)
-      bos.toByteArray
+      (bos.toByteArray, tw, th)
     }
   }
 
@@ -196,10 +198,7 @@ object Multimodal {
           if (ImageDecoder.looksLikeImage(m.bytes)) ImageDecoder.resize(m.bytes, maxSide)
           else null
         if (out == null) m.copy(bytes = null, width = -1, height = -1)
-        else {
-          val dec = ImageDecoder.decode(out)
-          m.copy(bytes = out, width = dec.width, height = dec.height)
-        }
+        else m.copy(bytes = out._1, width = out._2, height = out._3)
       }
     }
   }

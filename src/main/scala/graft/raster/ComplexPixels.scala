@@ -8,8 +8,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   * Reference semantics mirrored:
   *  - `-ot` casts run GDALCopyWords per component
-  *    (`gcore/rasterio.cpp:1800` GDALCopyWordsComplexT): float→int is
-  *    clamp(v+0.5)-truncate, int→int is plain clamp;
+  *    (`gcore/rasterio.cpp:1800` GDALCopyWordsComplexT): float→signed-int
+  *    rounds half away from zero then truncates, float→unsigned adds
+  *    +0.5 and clamps at 0, int→int is plain clamp
+  *    (`gdal_priv_templates.hpp:155-273`);
   *  - complex→real keeps the REAL component (the complex-in/real-out
   *    dispatch at `rasterio.cpp:1906` strides over pairs);
   *  - real→complex zeroes the imaginary part
@@ -43,7 +45,11 @@ object ComplexPixels {
                           re: Array[Double], im: Array[Double])
 
   /** Per-component GDALCopyWords conversion: srcFloat selects the
-    * float→int rounding (+0.5 truncate) vs the int→int plain clamp.
+    * float→int rounding vs the int→int plain clamp. Signed integer
+    * destinations round half AWAY from zero (`gdal_priv_templates.hpp:
+    * 237-273` — `v >= 0 ? v+0.5 : v-0.5` then C-cast truncation);
+    * unsigned destinations add +0.5 unconditionally and clamp at 0
+    * (the generic template at `:155-162`).
     */
   private def quantizer(srcFloat: Boolean, dst: PixType): Double => Double = {
     def clampInt(v: Double, lo: Double, hi: Double): Double =
@@ -54,12 +60,12 @@ object ComplexPixels {
           case TByte => (0.0, 255.0)
           case TUInt16 => (0.0, 65535.0)
           case TInt16 | TCInt16 => (-32768.0, 32767.0)
-          case _ => (-2147483647.0, 2147483647.0)
+          case _ => (-2147483648.0, 2147483647.0)
         }
+        val signed = lo < 0.0
         if (srcFloat) { v =>
-          val s = v + 0.5
+          val s = if (signed && v < 0.0) v - 0.5 else v + 0.5
           if (s < lo) lo else if (s > hi) hi
-          else if (dst == TInt32 || dst == TCInt32) math.floor(s)
           else s.toLong.toDouble // C cast: trunc toward zero
         }
         else v => clampInt(v, lo, hi)

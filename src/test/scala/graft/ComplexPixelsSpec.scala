@@ -36,13 +36,14 @@ class ComplexPixelsSpec extends AnyFunSuite {
     assert(ComplexPixels.checksum(int16b, TCInt16) === refI)
   }
 
-  test("float→int casts round +0.5 trunc-toward-zero; int→int plain clamp") {
+  test("float→int casts round half away from zero; int→int plain clamp") {
     val s = Seq(CPlane(0, 0, 1, 4,
       Array(-3.7, 3.7, 40000.0, -40000.0), Array(0.4, -0.6, 0.0, 0.0))).toDS()
     val c16 = ComplexPixels.convert(s, TCFloat32, TCInt16).head()
-    // GDALCopyWord float→GInt16: v+0.5 then C cast: -3.2→-3, 4.2→4
-    assert(c16.re.toSeq === Seq(-3.0, 4.0, 32767.0, -32768.0))
-    assert(c16.im.toSeq === Seq(0.0, 0.0, 0.0, 0.0))
+    // GDALCopyWord float→GInt16 (gdal_priv_templates.hpp:247-255):
+    // v>0 ? v+0.5 : v-0.5 then C cast: -4.2→-4, 4.2→4, -0.6→-1.1→-1
+    assert(c16.re.toSeq === Seq(-4.0, 4.0, 32767.0, -32768.0))
+    assert(c16.im.toSeq === Seq(0.0, -1.0, 0.0, 0.0))
     // int→int: no +0.5 (a CInt32 strip of integer values through CInt16)
     val i32 = Seq(CPlane(0, 0, 1, 3,
       Array(-3.0, 40000.0, 7.0), Array(1.0, -2.0, 0.0))).toDS()

@@ -3,8 +3,8 @@
 
 Recomputes, in plain Python, the complex-pixel-family results the Scala
 engine must produce for the deterministic 37x23 CFloat32 fixture:
-GDALCopyWords complex casts (component-wise clamp(v+0.5)-truncate for
-integer targets, real-part extraction for complex->real, zero imaginary
+GDALCopyWords complex casts (component-wise symmetric-round-clamp for
+signed integer targets, real-part extraction for complex->real, zero imaginary
 for real->complex), GDALChecksumImage over interleaved re/im words, and
 ComputeStatistics over the REAL component (GDAL 2.1 reads pData[2*i]
 for complex types - gdalrasterband.cpp:3718-3731).
@@ -28,7 +28,9 @@ def im_of(x, y):
 
 
 def to_int16(v):
-    s = v + 0.5
+    # GDALCopyWord double->short (gdal_priv_templates.hpp:247-255):
+    # round half AWAY from zero, clamp, C-cast truncation
+    s = v + 0.5 if v > 0 else v - 0.5
     if s < -32768:
         return -32768
     if s > 32767:
@@ -37,12 +39,14 @@ def to_int16(v):
 
 
 def to_int32(v):
-    s = v + 0.5
-    if s < -2147483647.0:
-        return -2147483647
+    # GDALCopyWord double->int (gdal_priv_templates.hpp:237-245):
+    # symmetric rounding, clamp at int min/max, C-cast truncation
+    s = v + 0.5 if v >= 0 else v - 0.5
+    if s < -2147483648.0:
+        return -2147483648
     if s > 2147483647.0:
         return 2147483647
-    return math.floor(s)
+    return int(s)
 
 
 def cks_int(words):
