@@ -370,6 +370,23 @@ object SparkEntry {
       Dedup.exact(all, col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_chars"))
     }),
+    "q_ngram_jaccard" -> ((s, d) => {
+      // exact word-n-gram Jaccard verification over candidate pairs —
+      // the verify stage that follows MinHash banding in a dedup
+      // pipeline (here fed a small deterministic all-pairs candidate set
+      // so the oracle can recompute it without replicating MinHash)
+      val base = t(s, d, "documents").filter(col("doc_id") % 31 === 0)
+        .select(col("doc_id"), col("text"))
+      val dups = base.select((col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+      val all = base.unionByName(dups)
+      val pairs = all.select(col("doc_id").as("id_a"))
+        .crossJoin(all.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.verifyJaccard(pairs, all, col("doc_id"), col("text"),
+          n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac_r"))
+    }),
     "q_dedup_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val nearDups = docs.filter(col("doc_id") % 7 === 0)
@@ -898,6 +915,32 @@ object SparkEntry {
           gf.st_makevalid(gf.st_geomfromtext(col("wkt")), col("method")).as("f"))
         .select(col("name"), gf.st_numgeometries(col("f")).as("n_faces"),
           round(gf.st_area(col("f")), 4).as("area_r"))
+        .orderBy(col("name"))
+    }),
+    "q_force" -> ((s, d) => {
+      import s.implicits._
+      // geometry type casts (ogrgeometryfactory.cpp:553 forceToPolygon /
+      // :669 forceToMultiPolygon): multi→first-part (extra parts
+      // discarded, reference semantics), polygon→wrapped multi,
+      // non-areal→null. Oracle = closed-form pinned VALUES.
+      val tri = "POLYGON((0 0,4 0,4 3,0 0))"
+      val multi = "MULTIPOLYGON(((0 0,2 0,1 2,0 0)),((5 5,6 5,5 6,5 5)))"
+      Seq(
+        ("poly_to_poly", tri, false),
+        ("multi_first", multi, false),
+        ("point_null", "POINT(1 2)", false),
+        ("poly_wrap", tri, true),
+        ("multi_keep", multi, true))
+        .toDF("name", "wkt", "to_multi")
+        .select(col("name"),
+          when(col("to_multi"),
+            gf.st_force_multipolygon(gf.st_geomfromtext(col("wkt"))))
+            .otherwise(gf.st_force_polygon(gf.st_geomfromtext(col("wkt"))))
+            .as("f"))
+        .select(col("name"),
+          coalesce(gf.st_geometrytype(col("f")), lit("NULL")).as("gtype"),
+          coalesce(gf.st_numgeometries(col("f")), lit(-1)).as("n_geoms"),
+          round(coalesce(gf.st_area(col("f")), lit(-1.0)), 4).as("area_r"))
         .orderBy(col("name"))
     }),
     "q_buffer_concave" -> ((s, d) => {
@@ -1542,6 +1585,34 @@ object SparkEntry {
         |  SELECT ia, ib, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
         |  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
         |SELECT ia AS id_a, ib AS id_b FROM j WHERE jac >= 0.7""".stripMargin,
+    "q_ngram_jaccard" ->
+      // word-trigram Jaccard recomputed set-theoretically (the engine
+      // hashes shingles; distinct-hash cardinalities equal distinct-string
+      // cardinalities, so the ratios match exactly)
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000, text || ' extra' FROM documents WHERE doc_id % 31 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM all_docs),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+        |         w[CAST(i AS INT) + 2]))) AS g
+        |  FROM toks WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT ia, ib, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+        |  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
+        |SELECT ia AS id_a, ib AS id_b, round(jac, 6) AS jac_r
+        |FROM j WHERE jac >= 0.8""".stripMargin,
     "q_grid_metrics" ->
       s"""WITH $docPointsSql
         |SELECT CAST(5 AS BIGINT) * 4503599627370496 +
@@ -1916,6 +1987,17 @@ object SparkEntry {
         |  ('overlap_lw', 2, CAST(4.0 AS DOUBLE)),
         |  ('overlap_st', 1, CAST(6.0 AS DOUBLE)))
         |AS t(name, n_faces, area_r)""".stripMargin,
+    "q_force" ->
+      // closed-form: forceToPolygon keeps the first part (tri area 2 of
+      // the 2-part multi), forceToMultiPolygon wraps (1 part, area 6),
+      // POINT forces to null (sentinels 'NULL'/-1/-1.0)
+      """SELECT * FROM (VALUES
+        |  ('multi_first', 'POLYGON', 1, CAST(2.0 AS DOUBLE)),
+        |  ('multi_keep', 'MULTIPOLYGON', 2, CAST(2.5 AS DOUBLE)),
+        |  ('point_null', 'NULL', -1, CAST(-1.0 AS DOUBLE)),
+        |  ('poly_to_poly', 'POLYGON', 1, CAST(6.0 AS DOUBLE)),
+        |  ('poly_wrap', 'MULTIPOLYGON', 1, CAST(6.0 AS DOUBLE)))
+        |AS t(name, gtype, n_geoms, area_r)""".stripMargin,
     "q_buffer_concave" ->
       """SELECT 1 AS ok_dilate, CAST(16.0 AS DOUBLE) AS area_erode,
         |       1 AS in_reflex, 0 AS out_reflex""".stripMargin,
