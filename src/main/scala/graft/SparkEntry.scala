@@ -791,6 +791,21 @@ object SparkEntry {
         """PARAMETER["scale_factor",0.9996012717],""" +
         """PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],""" +
         """UNIT["metre",1]]"""
+      // feet-based CRSes: +units=us-ft leaves +x_0/+y_0 in metres (PROJ
+      // fr_meter semantics); the WKT1 UNIT expresses false easting /
+      // northing in feet
+      val spcsft = spcs + " +units=us-ft"
+      val spcswkt = """PROJCS["CA5ft",GEOGCS["NAD83",DATUM["NAD_1983",""" +
+        """SPHEROID["GRS 1980",6378137,298.257222101]],""" +
+        """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+        """PROJECTION["Lambert_Conformal_Conic_2SP"],""" +
+        """PARAMETER["standard_parallel_1",34.0333],""" +
+        """PARAMETER["standard_parallel_2",35.4666],""" +
+        """PARAMETER["latitude_of_origin",33.5],""" +
+        """PARAMETER["central_meridian",-118],""" +
+        """PARAMETER["false_easting",2000000],""" +
+        """PARAMETER["false_northing",500000],""" +
+        """UNIT["US survey foot",0.3048006096012192]]"""
       val pts = Seq(
         (1L, "gk3", gk3, 9.18, 48.78),
         (2L, "gk3", gk3, 11.58, 48.14),
@@ -803,7 +818,11 @@ object SparkEntry {
         (9L, "nalaea", nalaea, -100.0, 45.0),
         (10L, "nalaea", nalaea, -122.33, 47.61),
         (11L, "bngwkt", bngwkt, -0.1276, 51.5072),
-        (12L, "bngwkt", bngwkt, -3.1883, 55.9533))
+        (12L, "bngwkt", bngwkt, -3.1883, 55.9533),
+        (13L, "spcsft", spcsft, -118.24, 34.05),
+        (14L, "spcsft", spcsft, -119.70, 34.42),
+        (15L, "spcswkt", spcswkt, -118.24, 34.05),
+        (16L, "spcswkt", spcswkt, -119.70, 34.42))
         .toDF("pid", "tag", "dst_srs", "px", "py")
       val g = gf.st_transform_srs(gf.st_point(col("px"), col("py")),
         lit("EPSG:4326"), col("dst_srs"))
@@ -1887,7 +1906,11 @@ object SparkEntry {
         |  (CAST(9 AS BIGINT), 'nalaea', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
         |  (CAST(10 AS BIGINT), 'nalaea', CAST(-1652141.9882 AS DOUBLE), CAST(522531.3308 AS DOUBLE)),
         |  (CAST(11 AS BIGINT), 'bngwkt', CAST(530043.1979 AS DOUBLE), CAST(180358.2087 AS DOUBLE)),
-        |  (CAST(12 AS BIGINT), 'bngwkt', CAST(325897.2215 AS DOUBLE), CAST(674001.2019 AS DOUBLE)))
+        |  (CAST(12 AS BIGINT), 'bngwkt', CAST(325897.2215 AS DOUBLE), CAST(674001.2019 AS DOUBLE)),
+        |  (CAST(13 AS BIGINT), 'spcsft', CAST(6488965.8639 AS DOUBLE), CAST(1840664.9318 AS DOUBLE)),
+        |  (CAST(14 AS BIGINT), 'spcsft', CAST(6049003.8757 AS DOUBLE), CAST(1979563.4081 AS DOUBLE)),
+        |  (CAST(15 AS BIGINT), 'spcswkt', CAST(1927299.1973 AS DOUBLE), CAST(700248.2651 AS DOUBLE)),
+        |  (CAST(16 AS BIGINT), 'spcswkt', CAST(1487337.209 AS DOUBLE), CAST(839146.7414 AS DOUBLE)))
         |AS t(pid, tag, x_r, y_r)""".stripMargin,
     "q_warp_utm" -> {
       // pinned from tools/gen_proj_oracle.py --warp (independent

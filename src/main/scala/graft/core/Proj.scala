@@ -446,8 +446,14 @@ object Proj {
   /** A CRS = projection (carrying its ellipsoid) + optional datum shift to
     * WGS84 (None = datum is WGS84-equivalent at this engine's accuracy —
     * true for WGS84 itself and, to <1 m, ETRS89/RGF93/NAD83).
+    * `unitToMeter` is the projected coordinate unit (1.0 = metres,
+    * 1200.0/3937 = US survey feet for state-plane CRSes); the kernels run
+    * in metres, coordinates are exchanged in the CRS's native unit
+    * (PROJ's `fr_meter` scaling, `+units=`/`+to_meter=`). Always 1.0 for
+    * geographic CRSes (coordinates in degrees).
     */
-  final case class Crs(epsg: Int, proj: Projection, toWgs84: Option[Helmert])
+  final case class Crs(epsg: Int, proj: Projection, toWgs84: Option[Helmert],
+                       unitToMeter: Double = 1.0)
 
   /** OSGB36 → WGS84 position-vector parameters (EPSG transformation 1314). */
   val Osgb36ToWgs84: Helmert =
@@ -496,7 +502,7 @@ object Proj {
     // epsg 0 marks a parsed (PROJ.4/WKT) definition with no authority code —
     // two such CRSes are not necessarily identical
     if (src.epsg == dst.epsg && src.epsg != 0) return (x, y)
-    val (lonS, latS) = src.proj.inverse(x, y)
+    val (lonS, latS) = src.proj.inverse(x * src.unitToMeter, y * src.unitToMeter)
     val (lonD, latD) =
       if (src.toWgs84 == dst.toWgs84) (lonS, latS) // same datum: skip shift
       else {
@@ -515,6 +521,8 @@ object Proj {
         val (lo, la, _) = geocentricToGeodetic(dst.proj.ell, dx, dy, dz)
         (lo, la)
       }
-    dst.proj.forward(lonD, latD)
+    val (ox, oy) = dst.proj.forward(lonD, latD)
+    if (dst.unitToMeter == 1.0) (ox, oy)
+    else (ox / dst.unitToMeter, oy / dst.unitToMeter)
   }
 }

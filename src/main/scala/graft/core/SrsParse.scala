@@ -13,7 +13,10 @@ import Proj._
   * lcc (2SP; 1SP only when it degenerates to lat_1=lat_2 with k=1), stere
   * in the polar aspect, laea, aea. Datum handling: +towgs84 / TOWGS84[…]
   * 3- or 7-parameter Helmert, +datum={WGS84,NAD83,OSGB36}, named WKT
-  * datums with a TOWGS84 node. Anything else fails loudly.
+  * datums with a TOWGS84 node. Linear units: +units=m/ft/us-ft/km or
+  * +to_meter=, WKT1 PROJCS UNIT factors (false easting/northing converted
+  * from the unit, coordinates exchanged in it — state-plane feet), WKT2
+  * per-parameter and per-axis LENGTHUNIT. Anything else fails loudly.
   */
 object SrsParse {
 
@@ -77,8 +80,6 @@ object SrsParse {
       "ellps", "datum", "towgs84", "units", "no_defs", "wktext", "type")
     kv.get("pm").foreach(v => require(v.toLowerCase == "greenwich" || v == "0",
       s"only the Greenwich prime meridian is supported, got +pm=$v"))
-    kv.get("to_meter").foreach(v => require(v.toDouble == 1.0,
-      s"only meter units supported, got +to_meter=$v"))
     kv.get("nadgrids").foreach(v => require(v == "@null",
       s"grid-shift files are unsupported, got +nadgrids=$v"))
     kv.get("axis").foreach(v => require(v == "enu",
@@ -127,10 +128,20 @@ object SrsParse {
       }
     }
 
-    kv.get("units").foreach { u =>
-      require(u == "m" || u == "meter" || u == "metre",
-        s"only meter units supported, got +units=$u")
-    }
+    // projected-unit factor (PROJ fr_meter semantics: +x_0/+y_0 stay in
+    // metres, only the EXCHANGED coordinates are in this unit —
+    // proj_4D_api/pj_fwd multiply the final metre result by 1/to_meter)
+    val unitToMeter: Double = kv.get("to_meter").map(_.toDouble).orElse(
+      kv.get("units").map {
+        case "m" | "meter" | "metre" => 1.0
+        case "ft" => 0.3048
+        case "us-ft" => 1200.0 / 3937.0
+        case "km" => 1000.0
+        case u => throw new IllegalArgumentException(
+          s"unsupported +units=$u (supported: m, ft, us-ft, km, or an " +
+            "explicit +to_meter=)")
+      }).getOrElse(1.0)
+    require(unitToMeter > 0, s"+to_meter must be positive, got $unitToMeter")
 
     val proj = kv.getOrElse("proj",
       throw new IllegalArgumentException("missing +proj="))
@@ -172,7 +183,9 @@ object SrsParse {
       case other => throw new IllegalArgumentException(
         s"+proj=$other unsupported (supported: longlat utm tmerc lcc stere laea aea)")
     }
-    Crs(0, p, toWgs84)
+    // geographic coordinates are degrees; PROJ ignores +units there too
+    val u = if (p.isInstanceOf[Geographic]) 1.0 else unitToMeter
+    Crs(0, p, toWgs84, u)
   }
 
   // --------------------------------------------------------------- WKT1
@@ -302,11 +315,14 @@ object SrsParse {
     def pr(k: String, default: Double): Double = params.getOrElse(k, default)
     def prAny(ks: Seq[String], default: Double): Double =
       ks.collectFirst { case k if params.contains(k) => params(k) }.getOrElse(default)
-    projcs.child("UNIT").foreach { u =>
-      require(math.abs(u.dbl(1) - 1.0) < 1e-12,
-        s"only meter units supported in PROJCS (got ${u.str(0)})")
-    }
-    val fe = pr("false_easting", 0); val fn = pr("false_northing", 0)
+    // WKT1 linear parameters (false easting/northing) are expressed in the
+    // PROJCS UNIT (e.g. US survey feet for state plane) — convert them to
+    // the metre-based kernels; the CRS exchanges coordinates in that unit
+    val unitToMeter = projcs.child("UNIT").map(_.dbl(1)).getOrElse(1.0)
+    require(unitToMeter > 0,
+      s"PROJCS UNIT factor must be positive, got $unitToMeter")
+    val fe = pr("false_easting", 0) * unitToMeter
+    val fn = pr("false_northing", 0) * unitToMeter
     val p: Projection = projName.toLowerCase match {
       case "transverse_mercator" =>
         TMerc(ell, pr("central_meridian", 0), pr("latitude_of_origin", 0),
@@ -330,7 +346,7 @@ object SrsParse {
       case other => throw new IllegalArgumentException(
         s"""unsupported PROJECTION["$other"]""")
     }
-    Crs(authorityOf(projcs), p, toWgs)
+    Crs(authorityOf(projcs), p, toWgs, unitToMeter)
   }
 
   // --------------------------------------------------------------- WKT2
@@ -363,13 +379,11 @@ object SrsParse {
         if (math.abs(f - math.Pi / 180) < 1e-12) v // degrees: exact
         else v * f * 180.0 / math.Pi // radian/grad/arc-second etc.
       case None =>
-        p.child("LENGTHUNIT").foreach(u =>
-          require(math.abs(u.dbl(1) - 1.0) < 1e-9,
-            s"only metre parameters supported (got ${u.str(0)})"))
         p.child("SCALEUNIT").foreach(u =>
           require(math.abs(u.dbl(1) - 1.0) < 1e-9,
             s"only unity scale parameters supported (got ${u.str(0)})"))
-        v
+        // length parameters convert to metres via their inline unit
+        v * p.child("LENGTHUNIT").map(_.dbl(1)).getOrElse(1.0)
     }
   }
 
@@ -440,7 +454,17 @@ object SrsParse {
       case (other, code) => throw new IllegalArgumentException(
         s"""unsupported WKT2 METHOD["$other"] (EPSG $code)""")
     }
-    Crs(idOf(root), p, toWgs)
+    // coordinate-system unit: a LENGTHUNIT directly under the root (shared
+    // form) or under each AXIS (per-axis form); must agree when repeated
+    val csUnit: Double = {
+      val us = (root.children("LENGTHUNIT").map(_.dbl(1)) ++
+        root.children("AXIS").flatMap(_.children("LENGTHUNIT").map(_.dbl(1)))).distinct
+      require(us.size <= 1, s"inconsistent axis LENGTHUNIT factors: $us")
+      val u = us.headOption.getOrElse(1.0)
+      require(u > 0, s"LENGTHUNIT factor must be positive, got $u")
+      u
+    }
+    Crs(idOf(root), p, toWgs, csUnit)
   }
 
   /** WKT2 BOUNDCRS: SOURCECRS + ABRIDGEDTRANSFORMATION (the WKT2 spelling

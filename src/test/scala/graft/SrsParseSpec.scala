@@ -16,6 +16,19 @@ class SrsParseSpec extends AnyFunSuite {
       "+ellps=intl +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"),
     "spcs" -> ("+proj=lcc +lat_1=34.0333 +lat_2=35.4666 +lat_0=33.5 " +
       "+lon_0=-118 +x_0=2000000 +y_0=500000 +ellps=GRS80"),
+    "spcsft" -> ("+proj=lcc +lat_1=34.0333 +lat_2=35.4666 +lat_0=33.5 " +
+      "+lon_0=-118 +x_0=2000000 +y_0=500000 +ellps=GRS80 +units=us-ft"),
+    "spcswkt" -> ("""PROJCS["CA5ft",GEOGCS["NAD83",DATUM["NAD_1983",""" +
+      """SPHEROID["GRS 1980",6378137,298.257222101]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Lambert_Conformal_Conic_2SP"],""" +
+      """PARAMETER["standard_parallel_1",34.0333],""" +
+      """PARAMETER["standard_parallel_2",35.4666],""" +
+      """PARAMETER["latitude_of_origin",33.5],""" +
+      """PARAMETER["central_meridian",-118],""" +
+      """PARAMETER["false_easting",2000000],""" +
+      """PARAMETER["false_northing",500000],""" +
+      """UNIT["US survey foot",0.3048006096012192]]"""),
     "gls" -> "+proj=stere +lat_0=90 +lat_ts=71 +lon_0=-39 +x_0=0 +y_0=0 +ellps=WGS84",
     "naa" -> "+proj=aea +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96 +x_0=0 +y_0=0 +ellps=clrk66",
     "nalaea" -> "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 +ellps=WGS84",
@@ -96,7 +109,9 @@ class SrsParseSpec extends AnyFunSuite {
       5 -> ("gls", -39.0, 72.0), 6 -> ("gls", -51.7, 64.18),
       7 -> ("naa", -96.0, 40.0), 8 -> ("naa", -75.16, 39.95),
       9 -> ("nalaea", -100.0, 45.0), 10 -> ("nalaea", -122.33, 47.61),
-      11 -> ("bngwkt", -0.1276, 51.5072), 12 -> ("bngwkt", -3.1883, 55.9533))
+      11 -> ("bngwkt", -0.1276, 51.5072), 12 -> ("bngwkt", -3.1883, 55.9533),
+      13 -> ("spcsft", -118.24, 34.05), 14 -> ("spcsft", -119.70, 34.42),
+      15 -> ("spcswkt", -118.24, 34.05), 16 -> ("spcswkt", -119.70, 34.42))
     var checked = 0
     py.foreach { line =>
       val f = line.split("\t")
@@ -111,7 +126,37 @@ class SrsParseSpec extends AnyFunSuite {
         s"pid $pid ($tag) y: $y vs ${f(3)}")
       checked += 1
     }
-    assert(checked == 12)
+    assert(checked == 16)
+  }
+
+  test("linear units: us-ft, to_meter, WKT1 foot UNIT, round-trips") {
+    val usft = 1200.0 / 3937.0
+    val m = SrsParse.parse(srsDefs("spcs"))
+    val ft = SrsParse.parse(srsDefs("spcsft"))
+    // +units=us-ft leaves +x_0/+y_0 in metres: feet output = metre
+    // output / usft exactly (PROJ fr_meter semantics)
+    val (xm, ym) = Proj.transformPoint(wgs84, m, -118.24, 34.05)
+    val (xf, yf) = Proj.transformPoint(wgs84, ft, -118.24, 34.05)
+    assert(math.abs(xf * usft - xm) < 1e-6 && math.abs(yf * usft - ym) < 1e-6)
+    // round-trip through the feet CRS recovers the geographic input
+    val (lon, lat) = Proj.transformPoint(ft, wgs84, xf, yf)
+    assert(math.abs(lon - -118.24) < 1e-9 && math.abs(lat - 34.05) < 1e-9)
+    // WKT1 foot UNIT: false easting/northing are in feet, so the same
+    // point lands at a different (unit-consistent) coordinate
+    val w = SrsParse.parse(srsDefs("spcswkt"))
+    val (xw, yw) = Proj.transformPoint(wgs84, w, -118.24, 34.05)
+    // metre-space: (xm - 2000000 m) + 2000000 ft·usft, exchanged in feet
+    val expX = ((xm - 2000000.0) + 2000000.0 * usft) / usft
+    val expY = ((ym - 500000.0) + 500000.0 * usft) / usft
+    assert(math.abs(xw - expX) < 1e-6 && math.abs(yw - expY) < 1e-6)
+    // explicit +to_meter
+    val km = SrsParse.parse(srsDefs("spcs") + " +to_meter=1000")
+    val (xk, _) = Proj.transformPoint(wgs84, km, -118.24, 34.05)
+    assert(math.abs(xk * 1000.0 - xm) < 1e-6)
+    // geographic CRSes never carry a unit; junk units still fail loudly
+    assert(SrsParse.parse("+proj=longlat +ellps=WGS84 +units=us-ft").unitToMeter == 1.0)
+    assertThrows[IllegalArgumentException](
+      SrsParse.parse("+proj=utm +zone=31 +ellps=WGS84 +units=links"))
   }
   // ------------------------------------------------------------- WKT2
 

@@ -503,17 +503,37 @@ SRS_CUSTOM = {
                OSGB_H),
 }
 
+# --- feet-based CRSes: kernels run in metres, exchanged coordinates are
+# in the CRS unit (PROJ fr_meter). US survey foot = 1200/3937 m exactly.
+USFT = 1200.0 / 3937.0
+SRS_UNIT = {
+    # +proj=lcc +lat_1=34.0333 +lat_2=35.4666 +lat_0=33.5 +lon_0=-118
+    #   +x_0=2000000 +y_0=500000 +ellps=GRS80 +units=us-ft
+    # (+x_0/+y_0 stay metres; only the output is in feet)
+    "spcsft": ("grs80", Lcc("grs80", 34.0333, 35.4666, 33.5, -118,
+                            2000000, 500000), None, USFT),
+    # WKT1 PROJCS with UNIT["US survey foot", 1200/3937]: false easting /
+    # northing are expressed IN FEET (2000000 ft / 500000 ft), coordinates
+    # exchanged in feet
+    "spcswkt": ("grs80", Lcc("grs80", 34.0333, 35.4666, 33.5, -118,
+                             2000000 * USFT, 500000 * USFT), None, USFT),
+}
+SRS_CUSTOM.update({k: v[:3] for k, v in SRS_UNIT.items()})
+
 
 def srs_transform(dst_key, lon, lat):
     de, dp, dh = SRS_CUSTOM[dst_key]
+    u = SRS_UNIT[dst_key][3] if dst_key in SRS_UNIT else 1.0
     if dh is not None:
         a, es = es_of("wgs84")
         gx, gy, gz = geod_to_xyz(a, es, math.radians(lon), math.radians(lat))
         gx, gy, gz = helmert_inv(dh, gx, gy, gz)
         a2, es2 = es_of(de)
         lonr, latr = xyz_to_geod(a2, es2, gx, gy, gz)
-        return dp.fwd(lonr, latr)
-    return dp.fwd(math.radians(lon), math.radians(lat))
+        x, y = dp.fwd(lonr, latr)
+    else:
+        x, y = dp.fwd(math.radians(lon), math.radians(lat))
+    return x / u, y / u
 
 
 SRS_POINTS = [
@@ -529,6 +549,10 @@ SRS_POINTS = [
     (10, "nalaea", -122.33, 47.61), # Seattle
     (11, "bngwkt", -0.1276, 51.5072),  # London via WKT BNG
     (12, "bngwkt", -3.1883, 55.9533),  # Edinburgh
+    (13, "spcsft", -118.24, 34.05),    # LA in state-plane US feet (+units=)
+    (14, "spcsft", -119.70, 34.42),    # Santa Barbara
+    (15, "spcswkt", -118.24, 34.05),   # LA via WKT1 UNIT["US survey foot"]
+    (16, "spcswkt", -119.70, 34.42),   # Santa Barbara
 ]
 
 
