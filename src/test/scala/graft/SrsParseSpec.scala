@@ -158,6 +158,29 @@ class SrsParseSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       SrsParse.parse("+proj=utm +zone=31 +ellps=WGS84 +units=links"))
   }
+  test("ESRI-flavor WKT1 parses (D_ datums, unsuffixed LCC alias)") {
+    // morphFromESRI territory (reference: ogr/ogr_srs_esri.cpp): ESRI
+    // spells the datum D_North_American_1983 and the projection
+    // Lambert_Conformal_Conic without the _2SP suffix; both forms must
+    // land on the same CRS as the OGC spelling
+    val esri = """PROJCS["NAD_1983_StatePlane_California_V",""" +
+      """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",""" +
+      """SPHEROID["GRS_1980",6378137.0,298.257222101]],""" +
+      """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+      """PROJECTION["Lambert_Conformal_Conic"],""" +
+      """PARAMETER["False_Easting",2000000.0],""" +
+      """PARAMETER["False_Northing",500000.0],""" +
+      """PARAMETER["Central_Meridian",-118.0],""" +
+      """PARAMETER["Standard_Parallel_1",34.0333],""" +
+      """PARAMETER["Standard_Parallel_2",35.4666],""" +
+      """PARAMETER["Latitude_Of_Origin",33.5],UNIT["Meter",1.0]]"""
+    val e = SrsParse.parse(esri)
+    val o = SrsParse.parse(srsDefs("spcs"))
+    val (x1, y1) = Proj.transformPoint(wgs84, e, -118.24, 34.05)
+    val (x2, y2) = Proj.transformPoint(wgs84, o, -118.24, 34.05)
+    assert(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9)
+  }
+
   // ------------------------------------------------------------- WKT2
 
   test("WKT2 PROJCRS UTM with AXIS keywords matches the EPSG table") {
