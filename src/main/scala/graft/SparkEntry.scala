@@ -169,6 +169,22 @@ object SparkEntry {
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("cnt"))
     }),
+    "q_agg_empty" -> ((s, d) => {
+      // reference parity for aggregates over an EMPTY input
+      // (autotest/ogr/ogr_sql_test.py:255-287 ogr_sql_11/12: MAX on empty
+      // yields one NULL row, DISTINCT on empty yields zero rows): the
+      // summary row carries count=0 and NULL min/max/sum/avg, plus the
+      // distinct-mode cardinality as a column so both behaviors pin in one
+      // hash-compared result
+      val none = t(s, d, "lineitem").filter(col("l_quantity") < -1)
+      none.agg(
+        count(lit(1)).as("cnt"),
+        max(col("l_quantity")).as("mx"),
+        min(col("l_quantity")).as("mn"),
+        sum(col("l_quantity")).as("sm"),
+        avg(col("l_quantity")).as("av"),
+        countDistinct(col("l_returnflag")).as("n_distinct"))
+    }),
     "q_count_star" -> ((s, d) => {
       val li = t(s, d, "lineitem").agg(count(lit(1)).as("n")).select(lit("lineitem").as("tbl"), col("n"))
       val or = t(s, d, "orders").agg(count(lit(1)).as("n")).select(lit("orders").as("tbl"), col("n"))
@@ -1446,6 +1462,11 @@ object SparkEntry {
         |  sum(l_quantity) / count(*) AS avg_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_agg_empty" ->
+      """SELECT count(*) AS cnt, max(l_quantity) AS mx, min(l_quantity) AS mn,
+        |  sum(l_quantity) AS sm, avg(l_quantity) AS av,
+        |  count(DISTINCT l_returnflag) AS n_distinct
+        |FROM lineitem WHERE l_quantity < -1""".stripMargin,
     "q_count_star" ->
       """SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
         |UNION ALL SELECT 'orders', count(*) FROM orders
