@@ -1221,9 +1221,25 @@ object Arrangement {
       val main = run(bld.ringsBuf.toSeq, 1, w => w(0) != 0, collapsed)
       if (collapsed.isEmpty) main
       else {
-        // resolve collapsed shells against the component result
+        // resolve collapsed shells against the component result.
+        // Shell-ness is the EFFECTIVE winding (stored orientation × weight),
+        // not the raw weight: addRingOriented stores a CW-wound input
+        // exterior with w = -1 (the orientation-normalization flip), and
+        // a conventionally CW-wound hole with w = +1 — the raw-w test
+        // would drop the former and resurrect the latter.
         val outsideShells = collapsed.filter { r =>
-          r.w > 0 && !main.exists(p =>
+          val n = openLen(r.xy) / 2
+          val x0 = r.xy(0); val y0 = r.xy(1)
+          var a2 = 0.0
+          var i = 0
+          while (i < n) {
+            val j = (i + 1) % n
+            a2 += (r.xy(2 * i) - x0) * (r.xy(2 * j + 1) - y0) -
+              (r.xy(2 * j) - x0) * (r.xy(2 * i + 1) - y0)
+            i += 1
+          }
+          val isShell = if (a2 >= 0) r.w > 0 else r.w < 0
+          isShell && !main.exists(p =>
             GeomOps.polygonContainsPoint(p, r.xy(0), r.xy(1)))
         }
         if (outsideShells.isEmpty) main

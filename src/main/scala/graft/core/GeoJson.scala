@@ -197,9 +197,13 @@ object GeoJson {
       case "GeometryCollection" =>
         GMulti(7, parseArray(cursorAt(p, geomsAt), parseGeometry).toArray)
       case "Feature" =>
-        // RFC 7946 §3.2: a Feature wraps one geometry (possibly null)
+        // RFC 7946 §3.2: a Feature wraps one geometry (possibly null —
+        // an unlocated Feature maps to the empty collection)
         require(geometryAt >= 0, "GeoJSON: Feature without geometry")
-        parseGeometry(cursorAt(p, geometryAt))
+        val q = cursorAt(p, geometryAt)
+        q.ws()
+        if (q.s.regionMatches(q.i, "null", 0, 4)) GMulti(7, Array.empty[Geom])
+        else parseGeometry(q)
       case "FeatureCollection" =>
         require(featuresAt >= 0, "GeoJSON: FeatureCollection without features")
         GMulti(7, parseArray(cursorAt(p, featuresAt), parseGeometry).toArray)

@@ -148,9 +148,15 @@ object Geom {
   }
 
   private def writeWkt(g: Geom, sb: StringBuilder, top: Boolean): Unit = g match {
+    case pt: GPoint if pt.x.isNaN && pt.y.isNaN =>
+      // the empty-point convention is NaN coords; 'POINT (NaN NaN)' is
+      // WKT our own parser rejects
+      sb.append("POINT EMPTY")
     case pt: GPoint =>
       sb.append("POINT ").append(dimMarker(pt.is3D, pt.isMeasured)).append('(')
       writeCoord(sb, pt.x, pt.y, pt.z, pt.is3D, pt.m, pt.isMeasured); sb.append(')')
+    case l: GLine if l.numPoints == 0 =>
+      sb.append("LINESTRING EMPTY")
     case l: GLine =>
       sb.append("LINESTRING ").append(dimMarker(l.hasZ, l.hasM))
       writeLineBody(sb, l, l.hasZ, l.hasM)

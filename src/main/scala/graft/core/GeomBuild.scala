@@ -54,25 +54,58 @@ object GeomBuild {
     * collapses to a bow-tie.
     */
   def simplifyPreserveTopology(g: Geom, tolerance: Double): Geom = g match {
-    case l: GLine if !l.isClosed => GLine(dpSimplify(l.xy, tolerance))
-    case l: GLine => GLine(ptSimplifyRing(l.xy, tolerance))
+    case l: GLine if !l.isClosed =>
+      pickLine(l, keptIndices(dpSimplifyKeep(l.xy, tolerance)), closeRing = false)
+    case l: GLine =>
+      val (idx, close) = ptSimplifyRingIdx(l.xy, tolerance)
+      pickLine(l, idx, close)
     case p: GPolygon =>
-      GPolygon(p.rings.map(r => GLine(ptSimplifyRing(r.xy, tolerance))))
+      GPolygon(p.rings.map { r =>
+        val (idx, close) = ptSimplifyRingIdx(r.xy, tolerance)
+        pickLine(r, idx, close)
+      })
     case m: GMulti => GMulti(m.multiKind, m.geoms.map(simplifyPreserveTopology(_, tolerance)))
     case other => other
   }
+
+  /** Rebuild a line from kept vertex indices, carrying Z and M along —
+    * simplification must not silently flatten 2.5D/measured geometries.
+    */
+  private def pickLine(l: GLine, idx: IndexedSeq[Int], closeRing: Boolean): GLine = {
+    val k = idx.length + (if (closeRing) 1 else 0)
+    val xy = new Array[Double](2 * k)
+    val z = if (l.z != null) new Array[Double](k) else null
+    val m = if (l.m != null) new Array[Double](k) else null
+    var i = 0
+    while (i < idx.length) {
+      xy(2 * i) = l.xy(2 * idx(i)); xy(2 * i + 1) = l.xy(2 * idx(i) + 1)
+      if (z != null) z(i) = l.z(idx(i))
+      if (m != null) m(i) = l.m(idx(i))
+      i += 1
+    }
+    if (closeRing) {
+      xy(2 * i) = xy(0); xy(2 * i + 1) = xy(1)
+      if (z != null) z(i) = z(0)
+      if (m != null) m(i) = m(0)
+    }
+    GLine(xy, z, m)
+  }
+
+  private def keptIndices(keep: Array[Boolean]): IndexedSeq[Int] =
+    (0 until keep.length).filter(keep)
 
   /** Greedy topology-safe ring simplification: repeatedly drop the vertex
     * whose distance to its neighbor chord is smallest (and under
     * tolerance), skipping any drop whose replacement chord would cross a
     * remaining ring edge. O(n²) — fine for per-row geometries.
     */
-  private def ptSimplifyRing(xyClosed: Array[Double], tol: Double): Array[Double] = {
+  private def ptSimplifyRingIdx(xyClosed: Array[Double],
+                                tol: Double): (IndexedSeq[Int], Boolean) = {
     val nAll = xyClosed.length / 2
     val closed = nAll >= 2 && xyClosed(0) == xyClosed(2 * nAll - 2) &&
       xyClosed(1) == xyClosed(2 * nAll - 1)
     val n = if (closed) nAll - 1 else nAll
-    if (n <= 4) return xyClosed
+    if (n <= 4) return ((0 until nAll), false) // identity, dup point kept
     val alive = scala.collection.mutable.ArrayBuffer.tabulate(n)(identity)
     val tolSq = tol * tol
 
@@ -115,29 +148,29 @@ object GeomBuild {
       }
       if (best >= 0) { alive.remove(best); removedSomething = true }
     }
-    val out = new Array[Double](2 * (alive.length + (if (closed) 1 else 0)))
-    var k = 0
-    while (k < alive.length) {
-      out(2 * k) = xyClosed(2 * alive(k)); out(2 * k + 1) = xyClosed(2 * alive(k) + 1)
-      k += 1
-    }
-    if (closed) { out(2 * k) = out(0); out(2 * k + 1) = out(1) }
-    out
+    (alive.toIndexedSeq, closed)
   }
 
-  /** Douglas-Peucker simplification with tolerance (per-part). */
+  /** Douglas-Peucker simplification with tolerance (per-part); Z/M ride
+    * along with the kept vertices.
+    */
   def simplify(g: Geom, tolerance: Double): Geom = g match {
-    case l: GLine => GLine(dpSimplify(l.xy, tolerance))
+    case l: GLine =>
+      pickLine(l, keptIndices(dpSimplifyKeep(l.xy, tolerance)), closeRing = false)
     case p: GPolygon =>
-      GPolygon(p.rings.map(r => GLine(dpSimplifyRing(r.xy, tolerance))))
+      GPolygon(p.rings.map { r =>
+        val idx = keptIndices(dpSimplifyKeep(r.xy, tolerance))
+        if (idx.length >= 4) pickLine(r, idx, closeRing = false)
+        else r // keep ring valid (≥ 4 points)
+      })
     case m: GMulti => GMulti(m.multiKind, m.geoms.map(simplify(_, tolerance)))
     case other => other
   }
 
-  private def dpSimplify(xy: Array[Double], tol: Double): Array[Double] = {
+  private def dpSimplifyKeep(xy: Array[Double], tol: Double): Array[Boolean] = {
     val n = xy.length / 2
-    if (n <= 2) return xy
     val keep = new Array[Boolean](n)
+    if (n <= 2) { java.util.Arrays.fill(keep, true); return keep }
     keep(0) = true; keep(n - 1) = true
     def recurse(lo: Int, hi: Int): Unit = {
       if (hi - lo < 2) return
@@ -152,15 +185,7 @@ object GeomBuild {
       if (best >= 0) { keep(best) = true; recurse(lo, best); recurse(best, hi) }
     }
     recurse(0, n - 1)
-    val out = new scala.collection.mutable.ArrayBuffer[Double](2 * n)
-    var i = 0
-    while (i < n) { if (keep(i)) { out += xy(2 * i); out += xy(2 * i + 1) }; i += 1 }
-    out.toArray
-  }
-
-  private def dpSimplifyRing(xy: Array[Double], tol: Double): Array[Double] = {
-    val out = dpSimplify(xy, tol)
-    if (out.length >= 8) out else xy // keep ring valid (≥ 4 points)
+    keep
   }
 
   /** Exact port of OGRSimpleCurve::segmentize (direction normalization at

@@ -173,6 +173,8 @@ object GeomOps {
       var i = 0
       while (i < l.numPoints) { sx += l.x(i); sy += l.y(i); i += 1 }
       (sx / l.numPoints, sy / l.numPoints)
+    case p: GPolygon if p.rings.isEmpty || p.rings(0).xy.length < 2 =>
+      (Double.NaN, Double.NaN) // POLYGON EMPTY → empty point, not a crash
     case p: GPolygon =>
       // signed-area weighted centroid of exterior minus holes
       // centered at the polygon's first vertex for precision (see
@@ -259,11 +261,15 @@ object GeomOps {
     case (p: GPoint, l: GLine) => math.sqrt(distToLineSq(l, p.x, p.y))
     case (l: GLine, p: GPoint) => math.sqrt(distToLineSq(l, p.x, p.y))
     case (p: GPoint, poly: GPolygon) =>
-      if (polygonContainsPoint(poly, p.x, p.y)) 0.0
+      if (poly.rings.isEmpty) Double.NaN // distance to POLYGON EMPTY undefined
+      else if (polygonContainsPoint(poly, p.x, p.y)) 0.0
       else math.sqrt(poly.rings.map(r => distToLineSq(r, p.x, p.y)).min)
     case (poly: GPolygon, p: GPoint) => distance(p, poly)
-    case (m: GMulti, o) => m.geoms.map(distance(_, o)).min
-    case (o, m: GMulti) => m.geoms.map(distance(o, _)).min
+    // empty collections: NaN, not an empty.min crash
+    case (m: GMulti, o) =>
+      if (m.geoms.isEmpty) Double.NaN else m.geoms.map(distance(_, o)).min
+    case (o, m: GMulti) =>
+      if (m.geoms.isEmpty) Double.NaN else m.geoms.map(distance(o, _)).min
     case (l1: GLine, l2: GLine) =>
       if (linesIntersect(l1, l2)) 0.0
       else {
@@ -277,7 +283,8 @@ object GeomOps {
     case (l: GLine, poly: GPolygon) => polyLineDistance(poly, l)
     case (poly: GPolygon, l: GLine) => polyLineDistance(poly, l)
     case (p1: GPolygon, p2: GPolygon) =>
-      if (polygonsIntersect(p1, p2)) 0.0
+      if (p1.rings.isEmpty || p2.rings.isEmpty) Double.NaN
+      else if (polygonsIntersect(p1, p2)) 0.0
       else p1.rings.flatMap(r1 => p2.rings.map(r2 => distance(GLine(r1.xy), GLine(r2.xy)))).min
   }
 
@@ -382,7 +389,23 @@ object GeomOps {
       }
     case (p1: GPolygon, p2: GPolygon) =>
       p1.envelope.containsEnv(p2.envelope) &&
-        p2.rings.headOption.forall(r => contains(p1, GLine(r.xy)))
+        p2.rings.headOption.forall(r => contains(p1, GLine(r.xy))) &&
+        // a hole of p1 lying strictly inside p2's interior never crosses
+        // p2's exterior ring, so the line test above cannot see it; any
+        // such hole vertex strictly inside p2 disproves containment
+        !p1.rings.drop(1).exists { h =>
+          val n = h.xy.length / 2
+          var i = 0
+          var bad = false
+          while (!bad && i < n) {
+            val hx = h.xy(2 * i); val hy = h.xy(2 * i + 1)
+            if (polygonContainsPoint(p2, hx, hy) &&
+                !p2.rings.exists(r => pointOnRingBoundary(r.xy, hx, hy)))
+              bad = true
+            i += 1
+          }
+          bad
+        }
     case (a1, m: GMulti) => m.geoms.forall(contains(a1, _))
     case (m: GMulti, b1) => m.geoms.exists(contains(_, b1))
     case _ => false

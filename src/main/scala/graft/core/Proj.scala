@@ -323,17 +323,23 @@ object Proj {
     }
   }
 
-  /** q(φ) — Snyder (3-12), shared by the equal-area projections. */
+  /** q(φ) — Snyder (3-12), shared by the equal-area projections.
+    * Spherical limit (e→0): the 1/(2e) term tends to −sinφ, so q = 2·sinφ
+    * — evaluated directly, because the general form is Inf·0 = NaN on a
+    * sphere (EASE-Grid / authalic-sphere LAEA definitions).
+    */
   private def qsfn(ell: Ellipsoid, phi: Double): Double = {
     val sinPhi = math.sin(phi)
     val e = ell.e
-    (1 - ell.es) * (sinPhi / (1 - ell.es * sinPhi * sinPhi) -
+    if (e == 0.0) 2.0 * sinPhi
+    else (1 - ell.es) * (sinPhi / (1 - ell.es * sinPhi * sinPhi) -
       (1 / (2 * e)) * math.log((1 - e * sinPhi) / (1 + e * sinPhi)))
   }
 
-  /** φ from q by Newton iteration — Snyder (3-16). */
+  /** φ from q by Newton iteration — Snyder (3-16); sphere: φ = asin(q/2). */
   private def invQsfn(ell: Ellipsoid, q: Double): Double = {
     val e = ell.e; val es = ell.es
+    if (e == 0.0) return math.asin(math.max(-1, math.min(1, q / 2)))
     var phi = math.asin(math.max(-1, math.min(1, q / 2)))
     var i = 0
     while (i < 15) {
@@ -393,21 +399,31 @@ object Proj {
     private val lat0 = math.toRadians(lat0Deg)
     private val lon0 = math.toRadians(lon0Deg)
 
-    private def qfn(phi: Double): Double = {
-      val sinPhi = math.sin(phi)
-      val e = ell.e
-      (1 - ell.es) * (sinPhi / (1 - ell.es * sinPhi * sinPhi) -
-        (1 / (2 * e)) * math.log((1 - e * sinPhi) / (1 + e * sinPhi)))
-    }
+    private def qfn(phi: Double): Double = qsfn(ell, phi) // sphere-safe
 
     private val qp = qfn(math.Pi / 2)
     private val rq = ell.a * math.sqrt(qp / 2)
     private val q0 = qfn(lat0)
     private val beta0 = math.asin(math.max(-1, math.min(1, q0 / qp)))
     private val sinB0 = math.sin(beta0); private val cosB0 = math.cos(beta0)
-    private val d = ell.a * msfn(ell.es, lat0) / (rq * cosB0)
+    // polar aspect (EASE-Grid lat_0=±90): the oblique D = a·m0/(Rq·cosβ0)
+    // degenerates (0/0); Snyder 24-23/24-24 use the separate ρ = a·√(qp∓q)
+    private val polar = math.abs(lat0Deg) >= 90 - 1e-9
+    private val north = lat0Deg > 0
+    private val d =
+      if (polar) 1.0 else ell.a * msfn(ell.es, lat0) / (rq * cosB0)
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
+      if (polar) {
+        val q = qfn(lat)
+        val rho = ell.a * math.sqrt(math.max(0, if (north) qp - q else qp + q))
+        var dLon = lon - lon0
+        while (dLon > math.Pi) dLon -= 2 * math.Pi
+        while (dLon < -math.Pi) dLon += 2 * math.Pi
+        val x = rho * math.sin(dLon)
+        val y = if (north) -rho * math.cos(dLon) else rho * math.cos(dLon)
+        return (fe + x, fn + y)
+      }
       val q = qfn(lat)
       val beta = math.asin(math.max(-1, math.min(1, q / qp)))
       var dLon = lon - lon0
@@ -422,6 +438,18 @@ object Proj {
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
+      if (polar) {
+        val px = x - fe; val py = y - fn
+        val rho = math.hypot(px, py)
+        val ra = rho / ell.a
+        val q = if (north) qp - ra * ra else ra * ra - qp
+        val lat = invQsfn(ell, math.max(-qp, math.min(qp, q)))
+        val lon =
+          if (rho < 1e-12) lon0
+          else if (north) lon0 + math.atan2(px, -py)
+          else lon0 + math.atan2(px, py)
+        return (lon, lat)
+      }
       val dx = (x - fe) / d; val dy = (y - fn) * d
       val rho = math.hypot(dx, dy)
       if (rho < 1e-12) return (lon0, lat0)

@@ -328,6 +328,11 @@ object SrsParse {
         TMerc(ell, pr("central_meridian", 0), pr("latitude_of_origin", 0),
           pr("scale_factor", 1.0), fe, fn)
       case "lambert_conformal_conic_2sp" | "lambert_conformal_conic" =>
+        // mirror the PROJ.4 path's guard: an ESRI 1SP-style LCC with
+        // Scale_Factor != 1 silently projected with k=1 would be off by
+        // hundreds of metres
+        require(pr("scale_factor", 1.0) == 1.0,
+          "Lambert_Conformal_Conic with scale_factor != 1 (1SP variant) is unsupported")
         val lat1 = prAny(Seq("standard_parallel_1"), pr("latitude_of_origin", 0))
         Lcc2SP(ell, lat1, pr("standard_parallel_2", lat1),
           prAny(Seq("latitude_of_origin", "latitude_of_center"), 0),
@@ -371,9 +376,21 @@ object SrsParse {
     * bit-identical with the PROJ.4 path), requires metre lengths and
     * unity scales.
     */
+  /** ISO 19162 allows the bare `UNIT` keyword as a compat alias for the
+    * typed ANGLEUNIT/LENGTHUNIT; classify an aliased unit by its name
+    * (angular names are a closed set), since the factor alone is ambiguous
+    * (radian = 1.0 = metre).
+    */
+  private def isAngularUnitName(n: String): Boolean = {
+    val l = n.toLowerCase
+    l.contains("degree") || l.contains("grad") || l.contains("radian") ||
+      l.contains("arc")
+  }
+
   private def paramVal2(p: WNode): Double = {
     val v = p.dbl(1)
-    p.child("ANGLEUNIT") match {
+    p.child("ANGLEUNIT")
+      .orElse(p.child("UNIT").filter(u => isAngularUnitName(u.str(0)))) match {
       case Some(u) =>
         val f = u.dbl(1)
         if (math.abs(f - math.Pi / 180) < 1e-12) v // degrees: exact
@@ -383,7 +400,8 @@ object SrsParse {
           require(math.abs(u.dbl(1) - 1.0) < 1e-9,
             s"only unity scale parameters supported (got ${u.str(0)})"))
         // length parameters convert to metres via their inline unit
-        v * p.child("LENGTHUNIT").map(_.dbl(1)).getOrElse(1.0)
+        v * p.child("LENGTHUNIT").orElse(p.child("UNIT")).map(_.dbl(1))
+          .getOrElse(1.0)
     }
   }
 
@@ -457,8 +475,11 @@ object SrsParse {
     // coordinate-system unit: a LENGTHUNIT directly under the root (shared
     // form) or under each AXIS (per-axis form); must agree when repeated
     val csUnit: Double = {
-      val us = (root.children("LENGTHUNIT").map(_.dbl(1)) ++
-        root.children("AXIS").flatMap(_.children("LENGTHUNIT").map(_.dbl(1)))).distinct
+      def lenUnits(n: WNode): Vector[Double] =
+        (n.children("LENGTHUNIT") ++
+          n.children("UNIT").filterNot(u => isAngularUnitName(u.str(0))))
+          .map(_.dbl(1))
+      val us = (lenUnits(root) ++ root.children("AXIS").flatMap(lenUnits)).distinct
       require(us.size <= 1, s"inconsistent axis LENGTHUNIT factors: $us")
       val u = us.headOption.getOrElse(1.0)
       require(u > 0, s"LENGTHUNIT factor must be positive, got $u")
