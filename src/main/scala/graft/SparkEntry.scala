@@ -427,6 +427,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.unitCount(col("text")).as("n_units"),
         round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
         round(TextOps.meanWordLen(col("text")), 6).as("mean_wlen"))
@@ -1806,6 +1807,8 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+'))
         |    - (CASE WHEN len(trim(text)) = 0 THEN 1 ELSE 0 END) AS n_tokens,
+        |  len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), t -> len(t) > 0))
+        |    + len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS n_units,
         |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE
         |    CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio,
         |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE

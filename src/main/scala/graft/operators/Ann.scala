@@ -24,8 +24,13 @@ object Ann {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2(a) * l2(b))
+  def cosine(a: Column, b: Column): Column = {
+    // zero-norm guard: 0/0 = NaN, and Spark orders NaN ABOVE every double,
+    // so a single all-zero embedding (failed/padded row) would rank first
+    // in every top-k; -1 pins such rows to the bottom instead
+    val d = l2(a) * l2(b)
+    when(d === 0.0, lit(-1.0)).otherwise(dot(a, b) / d)
+  }
 
   /** Exact top-k by cosine for each query vector.
     *

@@ -22,11 +22,15 @@ import graft.gf
 object Dedup {
 
   /** Exact dedup: keep the row with the smallest `keep` per identical
-    * `text` (hash-bucketed; the full text is only compared implicitly via
-    * xxhash64+length collision improbability at 128 bits combined).
+    * `text`. The window partitions by (hash, length, text): the hash
+    * prefix keeps shuffle distribution and comparison fast, the text
+    * itself guarantees exactness — a 64-bit collision between distinct
+    * equal-length documents (realistic odds at 10^9+ docs) must not
+    * silently delete one of them. The full row is in the shuffle either
+    * way, so the extra key costs nothing.
     */
   def exact(df: DataFrame, text: Column, keep: Column): DataFrame = {
-    val w = Window.partitionBy(xxhash64(text), length(text)).orderBy(keep)
+    val w = Window.partitionBy(xxhash64(text), length(text), text).orderBy(keep)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

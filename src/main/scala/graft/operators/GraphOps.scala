@@ -47,6 +47,12 @@ object GraphOps {
       iter += 1
     }
     sym.unpersist()
+    // same rule as kShortestPathsDistributed: a silent partial answer on a
+    // graph whose diameter exceeds maxIter is one component reported as
+    // several — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: label propagation did not converge in " +
+        s"$maxIter rounds (graph diameter likely exceeds it); raise maxIter")
     labels
   }
 
@@ -112,10 +118,13 @@ object GraphOps {
       }
     }
 
+    // min-weight parallel edge, matching what dijkstra actually relaxes
+    // with (es.find would price hops by collection order on multigraphs,
+    // ranking spur candidates by wrong costs); missing hops fail loudly
+    val minW: Map[(Long, Long), Double] =
+      es.groupBy(e => (e._1, e._2)).map { case (k, g) => k -> g.map(_._3).min }
     def pathCost(p: Path): Double =
-      p.sliding(2).map { case Vector(u, v) =>
-        es.find(e => e._1 == u && e._2 == v).map(_._3).getOrElse(0.0)
-      }.sum
+      p.sliding(2).collect { case Seq(u, v) => minW((u, v)) }.sum
 
     val first = dijkstra(Set.empty, Set.empty, from, to)
     val a = scala.collection.mutable.ArrayBuffer[(Double, Path)]()
@@ -235,6 +244,7 @@ object GraphOps {
             struct(col("n.cost"), size(col("n.path")), col("n.path")) <
               struct(col("o.cost"), size(col("o.path")), col("o.path")))
           .limit(1).count()
+        dist.unpersist() // free the previous round's checkpoint blocks
         dist = newDist
         converged = changed == 0L
         iter += 1
@@ -344,6 +354,9 @@ object GraphOps {
       iter += 1
     }
     e.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"shortestPaths: relaxation did not converge in $maxIter rounds — " +
+        s"a shortest path likely exceeds $maxIter hops; raise maxIter")
     dist
   }
 }

@@ -58,10 +58,17 @@ object KnnJoin {
     var acc: DataFrame = null
     val roundCaches = Seq.newBuilder[DataFrame]
 
-    while (nPending > 0 && ring <= maxRing) {
+    while (nPending > 0) {
+      // once the disk spans the grid (or the caller's ring budget is
+      // exhausted) stop pruning and brute-force the remaining stragglers —
+      // the loop then ALWAYS terminates with every query answered, with
+      // fewer than k rows when the whole dataset has fewer than k points
+      // (the old ring<=maxRing guard instead threw 'did not converge' on
+      // an empty points side, or whenever res made n exceed maxRing)
+      val wholeGrid = ring >= n || ring > maxRing
       // candidate cells of the disk: explode dx/dy, wrap x, clamp y —
       // mirror of CellGrid.disk as pure column arithmetic
-      val pairs = pending
+      def diskPairs = pending
         .withColumn("__cx", least(greatest(
           floor((col("__qlon") + 180.0) / 360.0 * n), lit(0.0)), lit((n - 1).toDouble)).cast("long"))
         .withColumn("__cy", least(greatest(
@@ -75,10 +82,12 @@ object KnnJoin {
         .select(col("__qid"), col("__qlon"), col("__qlat"), col("__qcell"))
       // longitude wrap can alias distinct dx to the same cell once the
       // ring spans the grid — dedupe only then (extra shuffle otherwise)
-      val pairsDeduped =
-        if (2L * ring + 1 > n) pairs.dropDuplicates("__qid", "__qcell") else pairs
+      def pairsDeduped =
+        if (2L * ring + 1 > n) diskPairs.dropDuplicates("__qid", "__qcell") else diskPairs
 
-      val cand = pts.join(pairsDeduped, pts("__pcell") === col("__qcell"))
+      val cand =
+        if (wholeGrid) pts.crossJoin(pending) // exact final sweep
+        else pts.join(pairsDeduped, pts("__pcell") === col("__qcell"))
       // plain products (not pow): bit-identical across engines for oracles
       val dist = sqrt((lon - col("__qlon")) * (lon - col("__qlon")) +
         (lat - col("__qlat")) * (lat - col("__qlat")))
@@ -93,11 +102,11 @@ object KnnJoin {
       roundCaches += ranked
 
       val safeRadius = ring * safePerRing
-      val wholeGrid = ring >= n
       // a query is done when its k-th candidate provably cannot be beaten
-      // by a point in an unsearched cell (or the disk spans the grid)
+      // by a point in an unsearched cell; on the brute-force sweep EVERY
+      // pending query is done (including ones with zero candidates)
       val doneQ =
-        if (wholeGrid) ranked.select(col("__qid")).distinct()
+        if (wholeGrid) pending.select(col("__qid"))
         else ranked.groupBy(col("__qid"))
           .agg(count(lit(1)).as("__n"), max(col("__dist")).as("__maxd"))
           .filter(col("__n") >= k && col("__maxd") <= safeRadius)

@@ -187,18 +187,21 @@ object Multimodal {
 
   /** Materialized resize over image payloads: decode → bilinear downscale
     * to `maxSide` → PNG re-encode, all inside the partition (pixels never
-    * leave the executor). Non-decodable rows come back with null bytes and
-    * ok=false.
+    * leave the executor). Non-image rows (audio/video/unknown magic) pass
+    * through UNCHANGED — the operator must never destroy payloads it was
+    * not built to transform. Image rows whose decode fails come back with
+    * null bytes and width/height = -1 (the corrupt-row marker).
     */
   def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val out =
-          if (ImageDecoder.looksLikeImage(m.bytes)) ImageDecoder.resize(m.bytes, maxSide)
-          else null
-        if (out == null) m.copy(bytes = null, width = -1, height = -1)
-        else m.copy(bytes = out._1, width = out._2, height = out._3)
+        if (!ImageDecoder.looksLikeImage(m.bytes)) m
+        else {
+          val out = ImageDecoder.resize(m.bytes, maxSide)
+          if (out == null) m.copy(bytes = null, width = -1, height = -1)
+          else m.copy(bytes = out._1, width = out._2, height = out._3)
+        }
       }
     }
   }

@@ -103,10 +103,11 @@ object SpatialJoin {
                   res: Int, op: String = "intersection"): DataFrame = {
     val opCol: (Column, Column) => Column = op match {
       case "intersection" => gf.st_intersection
-      case "difference" => gf.st_difference
-      case "union" => gf.st_union
-      case "symdifference" => gf.st_symdifference
-      case other => sys.error(s"unknown overlay op: $other")
+      case other => sys.error(
+        s"overlayJoin supports only 'intersection' (Intersection/Clip): " +
+          s"a per-PAIR '$other' under cell-candidate pruning depends on " +
+          "which disjoint pairs happen to share a cell — use eraseJoin " +
+          "for the layer-level Erase/Difference")
     }
     val l = left.select(leftKey.as("__lk"), leftGeom.as("__lg"))
       .withColumn("__lcell", explode(gf.cells_covering(col("__lg"), res)))

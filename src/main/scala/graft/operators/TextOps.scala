@@ -16,12 +16,14 @@ object TextOps {
     size(split(trim(text), "\\s+")) -
       when(length(trim(text)) === 0, lit(1)).otherwise(lit(0))
 
-  /** BPE-ish subword-unit count: words and punctuation counted separately
-    * (regex groups letters/digits vs single punctuation marks).
+  /** BPE-ish subword-unit count: maximal letter/digit runs plus each
+    * non-whitespace punctuation character (the lookaround-split version
+    * counted tabs/newlines as units; this formulation also has a direct
+    * SQL mirror, since RE2 lacks lookarounds).
     */
   def unitCount(text: Column): Column =
-    size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      t => length(t) > 0 && t =!= " "))
+    size(filter(split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)) +
+      length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
 
   /** Punctuation character ratio in [0,1]; 0 for empty. */
   def punctRatio(text: Column): Column =
