@@ -956,17 +956,24 @@ object SparkEntry {
     "q_force" -> ((s, d) => {
       import s.implicits._
       // geometry type casts (ogrgeometryfactory.cpp:553 forceToPolygon /
-      // :669 forceToMultiPolygon): multi→first-part (extra parts
-      // discarded, reference semantics), polygon→wrapped multi,
-      // non-areal→null. Oracle = closed-form pinned VALUES.
+      // :669 forceToMultiPolygon): multi/GC → ONE polygon aggregating ALL
+      // parts' rings, closed line → polygon, polygon → wrapped multi,
+      // all-polygon GC → promoted multi, non-convertible → passed through
+      // unchanged. Oracle = closed-form pinned VALUES (the aggregated
+      // 2-tri polygon's area is exterior − "hole" = 2 − 0.5 = 1.5).
       val tri = "POLYGON((0 0,4 0,4 3,0 0))"
       val multi = "MULTIPOLYGON(((0 0,2 0,1 2,0 0)),((5 5,6 5,5 6,5 5)))"
+      val gc = "GEOMETRYCOLLECTION(POLYGON((0 0,2 0,1 2,0 0))," +
+        "POLYGON((5 5,6 5,5 6,5 5)))"
       Seq(
         ("poly_to_poly", tri, false),
-        ("multi_first", multi, false),
-        ("point_null", "POINT(1 2)", false),
+        ("multi_merge", multi, false),
+        ("closed_line", "LINESTRING(0 0,4 0,4 3,0 0)", false),
+        ("point_pass", "POINT(1 2)", false),
         ("poly_wrap", tri, true),
-        ("multi_keep", multi, true))
+        ("multi_keep", multi, true),
+        ("gc_promote", gc, true),
+        ("line_pass", "LINESTRING(0 0,1 1)", true))
         .toDF("name", "wkt", "to_multi")
         .select(col("name"),
           when(col("to_multi"),
@@ -974,9 +981,9 @@ object SparkEntry {
             .otherwise(gf.st_force_polygon(gf.st_geomfromtext(col("wkt"))))
             .as("f"))
         .select(col("name"),
-          coalesce(gf.st_geometrytype(col("f")), lit("NULL")).as("gtype"),
-          coalesce(gf.st_numgeometries(col("f")), lit(-1)).as("n_geoms"),
-          round(coalesce(gf.st_area(col("f")), lit(-1.0)), 4).as("area_r"))
+          gf.st_geometrytype(col("f")).as("gtype"),
+          gf.st_numgeometries(col("f")).as("n_geoms"),
+          round(gf.st_area(col("f")), 4).as("area_r"))
         .orderBy(col("name"))
     }),
     "q_buffer_concave" -> ((s, d) => {
@@ -2035,13 +2042,16 @@ object SparkEntry {
         |  ('overlap_st', 1, CAST(6.0 AS DOUBLE)))
         |AS t(name, n_faces, area_r)""".stripMargin,
     "q_force" ->
-      // closed-form: forceToPolygon keeps the first part (tri area 2 of
-      // the 2-part multi), forceToMultiPolygon wraps (1 part, area 6),
-      // POINT forces to null (sentinels 'NULL'/-1/-1.0)
+      // closed-form, reference semantics (ogrgeometryfactory.cpp:596-626
+      // ring aggregation, :699-758 promote/wrap/pass-through): the merged
+      // 2-tri polygon has one exterior (area 2) and one "hole" (area 0.5)
       """SELECT * FROM (VALUES
-        |  ('multi_first', 'POLYGON', 1, CAST(2.0 AS DOUBLE)),
+        |  ('closed_line', 'POLYGON', 1, CAST(6.0 AS DOUBLE)),
+        |  ('gc_promote', 'MULTIPOLYGON', 2, CAST(2.5 AS DOUBLE)),
+        |  ('line_pass', 'LINESTRING', 1, CAST(0.0 AS DOUBLE)),
         |  ('multi_keep', 'MULTIPOLYGON', 2, CAST(2.5 AS DOUBLE)),
-        |  ('point_null', 'NULL', -1, CAST(-1.0 AS DOUBLE)),
+        |  ('multi_merge', 'POLYGON', 1, CAST(1.5 AS DOUBLE)),
+        |  ('point_pass', 'POINT', 1, CAST(0.0 AS DOUBLE)),
         |  ('poly_to_poly', 'POLYGON', 1, CAST(6.0 AS DOUBLE)),
         |  ('poly_wrap', 'MULTIPOLYGON', 1, CAST(6.0 AS DOUBLE)))
         |AS t(name, gtype, n_geoms, area_r)""".stripMargin,

@@ -88,6 +88,56 @@ case class StDistance(left: Expression, right: Expression)
   override def prettyName: String = "st_distance"
 }
 
+/** st_dwithin(a, b, d) -> boolean — distance-within predicate (the
+  * standard cheap post-filter after a cell-bucketed candidate join).
+  */
+case class StDWithin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    GeoRt.dwithin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, d) => s"graft.expr.GeoRt.dwithin($a, $b, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "st_dwithin"
+}
+
+/** st_distance_sphere(lon1, lat1, lon2, lat2) -> meters (haversine on the
+  * WGS84 mean sphere) — the metric kNN callers want when coordinates are
+  * degrees.
+  */
+case class StDistanceSphere(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoRt.haversineMeters(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.expr.GeoRt.haversineMeters($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "st_distance_sphere"
+}
+
+/** cell_parent(cell) -> the enclosing cell one resolution up. */
+case class CellParent(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(c: Any): Any =
+    GeoRt.cellParent(c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.GeoRt.cellParent($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "cell_parent"
+}
+
 case class StPoint(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = BinaryType
@@ -106,7 +156,7 @@ case class StGeomFromText(child: Expression)
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(s: Any): Any =
-    Geom.toWkb(Geom.fromWkt(s.asInstanceOf[UTF8String].toString))
+    GeoFn.geomFromText(s.asInstanceOf[UTF8String]) // same static as codegen
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.expr.GeoFn.geomFromText($s)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -118,7 +168,7 @@ case class StAsText(child: Expression)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(b: Any): Any =
-    UTF8String.fromString(Geom.toWkt(GeoRt.decode(b.asInstanceOf[Array[Byte]])))
+    GeoFn.asText(b.asInstanceOf[Array[Byte]]) // same static as codegen
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, b => s"graft.expr.GeoFn.asText($b)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -276,9 +326,14 @@ case class GeoExtract(child: Expression)
 
 object GeoExtract {
   private val NUM = "[-+]?\\d{1,3}(?:\\.\\d+)?"
-  private val P1 = java.util.regex.Pattern.compile(s"($NUM)([NS])\\s+($NUM)([EW])")
-  private val P2 = java.util.regex.Pattern.compile(s"lat=($NUM)\\s+lon=($NUM)")
-  private val P3 = java.util.regex.Pattern.compile(s"geo:($NUM),($NUM)")
+  // boundary guards: a match must not start inside a longer number/word
+  // ("id 1085.5N" must not yield 85.5N; "splat=1" must not yield lat=1)
+  // and the hemisphere letter must be a whole token ("12.5Now" is prose)
+  private val B = "(?<![\\p{L}\\p{N}.])"
+  private val P1 = java.util.regex.Pattern.compile(
+    s"$B($NUM)([NS])(?![\\p{L}\\p{N}])\\s+($NUM)([EW])(?![\\p{L}\\p{N}])")
+  private val P2 = java.util.regex.Pattern.compile(s"${B}lat=($NUM)\\s+lon=($NUM)")
+  private val P3 = java.util.regex.Pattern.compile(s"${B}geo:($NUM),($NUM)")
 
   /** Reused per-thread matchers: this expression runs once per page in the
     * flagship pipeline; matcher reuse keeps the 32-thread allocation rate
@@ -298,8 +353,12 @@ object GeoExtract {
     val s = text.toString
     m1.reset(s)
     while (m1.find()) {
-      val lat = java.lang.Double.parseDouble(m1.group(1)) * (if (m1.group(2) == "S") -1 else 1)
-      val lon = java.lang.Double.parseDouble(m1.group(3)) * (if (m1.group(4) == "W") -1 else 1)
+      // hemisphere letters denote the sign of the MAGNITUDE: "-12.5S"
+      // must stay south, not double-negate to +12.5
+      val lat = math.abs(java.lang.Double.parseDouble(m1.group(1))) *
+        (if (m1.group(2) == "S") -1 else 1)
+      val lon = math.abs(java.lang.Double.parseDouble(m1.group(3))) *
+        (if (m1.group(4) == "W") -1 else 1)
       if (valid(lat, lon)) buf += InternalRow(lat, lon)
     }
     m2.reset(s)
@@ -337,12 +396,6 @@ object GeoExtract {
   */
 object OverlayRt {
   import graft.core.{GeomClip, GMulti, GPolygon}
-
-  private def polysOf(g: Geom): Seq[GPolygon] = g match {
-    case p: GPolygon => Seq(p)
-    case GMulti(6, gs) => gs.toSeq.flatMap(polysOf)
-    case _ => Seq.empty
-  }
 
   private def wrap(pieces: Seq[Geom]): Array[Byte] = pieces match {
     case Seq() => null
@@ -385,22 +438,35 @@ case class StOverlay(left: Expression, right: Expression, op: Int)
 }
 
 /** Geometry type casts (`gdal/ogr/ogrgeometryfactory.cpp:553,:669`
-  * forceToPolygon / forceToMultiPolygon): polygon↔multipolygon coercion
-  * used by the SQL dialect's type normalization. forceToPolygon keeps the
-  * FIRST polygon of a multi (reference semantics: additional geometries
-  * discarded); forceToMultiPolygon wraps a polygon.
+  * forceToPolygon / forceToMultiPolygon): forceToPolygon aggregates the
+  * rings of ALL polygon parts of a multi/collection into ONE polygon
+  * (`:596-626` steals exterior+interior rings of every part) and turns a
+  * closed ≥3-point line into a polygon (`:570-588`); forceToMultiPolygon
+  * wraps a polygon and promotes an all-polygon GeometryCollection
+  * (`:699-734`). Non-convertible inputs pass through UNCHANGED — the
+  * reference never returns null for a non-null geometry.
   */
 object ForceRt {
-  import graft.core.{GMulti, GPolygon}
-  def toPolygon(wkb: Array[Byte]): Array[Byte] = GeoRt.decode(wkb) match {
-    case p: GPolygon => Geom.toWkb(p)
-    case GMulti(6, gs) if gs.nonEmpty => Geom.toWkb(gs(0))
-    case _ => null
+  import graft.core.{GLine, GMulti, GPolygon}
+  def toPolygon(wkb: Array[Byte]): Array[Byte] = {
+    val out: Geom = GeoRt.decode(wkb) match {
+      case l: GLine if l.numPoints >= 3 && l.isClosed => GPolygon(Array(l))
+      case GMulti(6 | 7, gs) =>
+        GPolygon(gs.iterator.collect { case p: GPolygon => p.rings }
+          .flatten.toArray)
+      case other => other
+    }
+    Geom.toWkb(out)
   }
-  def toMultiPolygon(wkb: Array[Byte]): Array[Byte] = GeoRt.decode(wkb) match {
-    case p: GPolygon => Geom.toWkb(GMulti(6, Array[Geom](p)))
-    case m @ GMulti(6, _) => Geom.toWkb(m)
-    case _ => null
+  def toMultiPolygon(wkb: Array[Byte]): Array[Byte] = {
+    val out: Geom = GeoRt.decode(wkb) match {
+      case m @ GMulti(6, _) => m
+      case GMulti(7, gs) if gs.forall(_.isInstanceOf[GPolygon]) =>
+        GMulti(6, gs)
+      case p: GPolygon => GMulti(6, Array[Geom](p))
+      case other => other
+    }
+    Geom.toWkb(out)
   }
 }
 
@@ -464,8 +530,7 @@ case class StBuffer(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(b: Any, d: Any): Any =
-    Geom.toWkb(graft.core.GeomClip.buffer(
-      GeoRt.decode(b.asInstanceOf[Array[Byte]]), d.asInstanceOf[Double]))
+    GeoFn.buffer(b.asInstanceOf[Array[Byte]], d.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (b, d) => s"graft.expr.GeoFn.buffer($b, $d)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -473,13 +538,28 @@ case class StBuffer(left: Expression, right: Expression) extends BinaryExpressio
   override def prettyName: String = "st_buffer"
 }
 
-/** Curve runtime shims. */
+/** Curve runtime shims. The curve WKT is usually a broadcast constant
+  * (lit column), so a per-thread single-slot memo avoids re-parsing the
+  * string on every row of a codegen'd filter — the same idea as
+  * GeoRt.decode's per-thread WKB cache.
+  */
 object CurveRt {
+  private val memo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](2)
+  }
+  private def parsed(wkt: UTF8String): graft.core.Curves.CurveGeom = {
+    val m = memo.get()
+    val s = wkt.toString
+    if (!(s == m(0))) {
+      m(1) = graft.core.Curves.fromWkt(s)
+      m(0) = s
+    }
+    m(1).asInstanceOf[graft.core.Curves.CurveGeom]
+  }
   def toLine(wkt: UTF8String, stepDeg: Double): Array[Byte] =
-    Geom.toWkb(graft.core.Curves.linearize(
-      graft.core.Curves.fromWkt(wkt.toString), stepDeg))
+    Geom.toWkb(graft.core.Curves.linearize(parsed(wkt), stepDeg))
   def containsPoint(wkt: UTF8String, x: Double, y: Double, stepDeg: Double): Boolean =
-    graft.core.Curves.containsPoint(graft.core.Curves.fromWkt(wkt.toString), x, y, stepDeg)
+    graft.core.Curves.containsPoint(parsed(wkt), x, y, stepDeg)
 }
 
 /** st_curvetoline(curveWkt, maxStepDeg) -> wkb (getLinearGeometry). */
@@ -520,7 +600,7 @@ case class StConvexHull(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(b: Any): Any =
-    Geom.toWkb(graft.core.GeomBuild.convexHull(GeoRt.decode(b.asInstanceOf[Array[Byte]])))
+    GeoFn.convexHull(b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, b => s"graft.expr.GeoFn.convexHull($b)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -532,8 +612,7 @@ case class StSimplify(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(b: Any, t: Any): Any =
-    Geom.toWkb(graft.core.GeomBuild.simplify(
-      GeoRt.decode(b.asInstanceOf[Array[Byte]]), t.asInstanceOf[Double]))
+    GeoFn.simplify(b.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (b, t) => s"graft.expr.GeoFn.simplify($b, $t)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

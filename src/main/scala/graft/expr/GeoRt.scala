@@ -66,11 +66,6 @@ object GeoRt {
   def distance(a: Array[Byte], b: Array[Byte]): Double =
     GeomOps.distance(decode(a), decode(b))
 
-  def pointDistance(ax: Double, ay: Double, bx: Double, by: Double): Double = {
-    val dx = ax - bx; val dy = ay - by
-    math.sqrt(dx * dx + dy * dy)
-  }
-
   /** Great-circle distance in meters on the WGS84 mean sphere. */
   def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
     val R = 6371008.8

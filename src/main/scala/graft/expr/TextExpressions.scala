@@ -110,10 +110,15 @@ object TextRt {
     mix(h)
   }
 
+  // hoisted: String.split compiles a fresh Pattern per call for multi-char
+  // regexes — these run once per ROW in codegen'd kernels
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val NonLetterPattern = java.util.regex.Pattern.compile("[^\\p{L}]+")
+
   /** Exact word-level n-gram Jaccard similarity between two texts. */
   def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
     def grams(t: String): java.util.HashSet[Long] = {
-      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val toks = WsPattern.split(t).filter(_.nonEmpty)
       val set = new java.util.HashSet[Long]()
       var i = 0
       while (i + n <= toks.length) {
@@ -160,7 +165,10 @@ object TextRt {
     * approach used by web-scale pipelines.
     */
   def langId(text: UTF8String): UTF8String = {
-    val toks = text.toString.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    // Locale.ROOT: default-locale lowercasing is non-deterministic across
+    // executors (Turkish dotless-ı breaks the en stopwords "is"/"it")
+    val toks = NonLetterPattern
+      .split(text.toString.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     if (toks.isEmpty) return UTF8String.fromString("und")
     var bestLang = "und"
     var bestHits = 0

@@ -36,6 +36,11 @@ object gf {
   def st_area(g: Column): Column = col(StArea(x(g)))
   def st_length(g: Column): Column = col(StLength(x(g)))
   def st_distance(a: Column, b: Column): Column = col(StDistance(x(a), x(b)))
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    col(StDWithin(x(a), x(b), x(d)))
+  def st_distance_sphere(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    col(StDistanceSphere(x(lon1), x(lat1), x(lon2), x(lat2)))
+  def cell_parent(c: Column): Column = col(CellParent(x(c)))
   def st_transform(g: Column, srcSrid: Int, dstSrid: Int): Column =
     col(StTransform(x(g), x(lit(srcSrid)), x(lit(dstSrid))))
   def st_transform(g: Column, srcSrid: Column, dstSrid: Column): Column =
@@ -152,6 +157,9 @@ object gf {
     r1("st_area", es => StArea(es.head))
     r1("st_length", es => StLength(es.head))
     r1("st_distance", es => StDistance(es(0), es(1)))
+    r1("st_dwithin", es => StDWithin(es(0), es(1), es(2)))
+    r1("st_distance_sphere", es => StDistanceSphere(es(0), es(1), es(2), es(3)))
+    r1("cell_parent", es => CellParent(es.head))
     r1("st_intersects", es => StIntersects(es(0), es(1)))
     r1("st_contains", es => StContains(es(0), es(1)))
     r1("st_contains_point", es => StContainsPoint(es(0), d(es(1)), d(es(2))))

@@ -187,6 +187,16 @@ object Smoke {
     assert(spark.sql(
       "select st_area(st_delaunay(st_geomfromtext('MULTIPOINT(0 0,4 0,4 4,0 4,2 2)')))")
       .head().getDouble(0) == 16.0, "st_delaunay SQL")
+    assert(spark.sql(
+      "select st_dwithin(st_point(0.0d, 0.0d), st_point(3.0d, 4.0d), 5.0d)")
+      .head().getBoolean(0), "st_dwithin SQL")
+    val hav = spark.sql(
+      "select st_distance_sphere(0.0d, 0.0d, 0.0d, 1.0d)").head().getDouble(0)
+    assert(math.abs(hav - 111195.0) < 10, s"st_distance_sphere SQL ($hav)")
+    assert(spark.sql("select cell_parent(cell_of(2.35d, 48.85d, 8))")
+      .head().getLong(0) ==
+      graft.index.CellGrid.parent(graft.index.CellGrid.cellId(2.35, 48.85, 8)),
+      "cell_parent SQL")
 
     // flagship pipeline transform on a small page batch
     val pages = graft.sources.Pages.synth(spark, 2000L)
