@@ -1729,9 +1729,11 @@ object SparkEntry {
         |  (CAST(4 AS BIGINT), CAST(-3.0 AS DOUBLE)))
         |AS t(qid, lin_r)""".stripMargin,
     "q_overview" ->
+      // reference AVERAGE Byte rounding incl. edge blocks:
+      // (total + count/2) / count (overview.cpp:390)
       """SELECT * FROM (VALUES
-        |  (0,0,119), (1,0,126), (2,0,127), (0,1,132), (1,1,130), (2,1,123),
-        |  (0,2,142), (1,2,138), (2,2,117), (0,3,156), (1,3,129), (2,3,103))
+        |  (0,0,119), (1,0,126), (2,0,128), (0,1,132), (1,1,130), (2,1,123),
+        |  (0,2,142), (1,2,138), (2,2,117), (0,3,156), (1,3,130), (2,3,103))
         |AS t(x, y, v)""".stripMargin,
     "q_hillshade" ->
       s"""$demOracleCte

@@ -170,23 +170,29 @@ object Contour {
     segs.toSeq
   }
 
-  /** Merge whole polylines sharing endpoints (cross-strip stitch). */
-  private[raster] def stitchChains(chains: Seq[Vector[(Double, Double)]]): Seq[Vector[(Double, Double)]] = {
+  /** Merge whole polylines sharing endpoints (cross-strip stitch).
+    * `byEnd` is a MULTImap: at a 3-way/4-way junction on a strip seam
+    * (saddle on a boundary row) several chains share one endpoint, and a
+    * single-slot map would let a later registration overwrite an earlier
+    * one — the overwritten chain then never stitches.
+    */
+  private[graft] def stitchChains(chains: Seq[Vector[(Double, Double)]]): Seq[Vector[(Double, Double)]] = {
     type P = (Double, Double)
     val acc = mutable.ArrayBuffer[Vector[P]]()
-    val byEnd = mutable.HashMap[P, Int]()
+    val byEnd = mutable.HashMap[P, mutable.Set[Int]]()
+    def unregister(i: Int, p: P): Unit =
+      byEnd.get(p).foreach { s => s -= i; if (s.isEmpty) byEnd.remove(p) }
+    def pick(p: P): Option[Int] =
+      byEnd.get(p).flatMap(_.find(i => acc(i).nonEmpty))
     chains.foreach { c0 =>
       var c = c0
       var merged = true
       while (merged) {
         merged = false
-        val hIdx = byEnd.get(c.head)
-        val tIdx = byEnd.get(c.last)
-        val idx = hIdx.orElse(tIdx)
-        idx.filter(i => acc(i).nonEmpty) match {
+        pick(c.head).orElse(pick(c.last)) match {
           case Some(i) =>
             val other = acc(i)
-            byEnd.remove(other.head); byEnd.remove(other.last)
+            unregister(i, other.head); unregister(i, other.last)
             acc(i) = Vector.empty
             c =
               if (other.last == c.head) other ++ c.tail
@@ -199,8 +205,8 @@ object Contour {
       }
       acc += c
       if (c.head != c.last) {
-        byEnd(c.head) = acc.length - 1
-        byEnd(c.last) = acc.length - 1
+        byEnd.getOrElseUpdate(c.head, mutable.Set.empty) += (acc.length - 1)
+        byEnd.getOrElseUpdate(c.last, mutable.Set.empty) += (acc.length - 1)
       }
     }
     acc.filter(_.nonEmpty).map(_.toVector).toSeq

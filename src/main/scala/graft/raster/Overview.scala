@@ -59,7 +59,10 @@ object Overview {
                 }
                 dy += 1
               }
-              total / count
+              // reference Byte/UInt16 path rounds: (dfTotal + nCount/2) /
+              // nCount (overview.cpp:390) — same rule as the full-block
+              // (total+2)/4 fast path, not a truncating division
+              (total + count / 2) / count
             }
           case Mode =>
             val cand = new scala.collection.mutable.LinkedHashMap[Int, Int]
@@ -133,9 +136,11 @@ object Overview {
         val m = math.sqrt(fr.toDouble * fr + fi.toDouble * fi)
         val desiredM = totalM / count
         if (m != 0.0) {
-          val ratio = desiredM / m
-          fr = (fr * ratio).toFloat
-          fi = (fi * ratio).toFloat
+          // reference: pafDst *= (float)dfRatio — a FLOAT multiply by the
+          // float-cast ratio, not a double multiply rounded once
+          val ratio = (desiredM / m).toFloat
+          fr = fr * ratio
+          fi = fi * ratio
         }
         ore(oy * ow + ox) = fr
         oim(oy * ow + ox) = fi

@@ -190,10 +190,11 @@ object Proximity {
       }
       StripScan.StripCols(s.stripIdx, mx, mn)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nStrips = cols.count()
-    require(nStrips == 0 ||
-      !cols.filter(_.down.exists(_ != StripScan.Absent)).isEmpty,
-      "proximity: no target pixels")
+    cols.count() // materialize the cache
+    // no require on target presence: a raster with zero target pixels is
+    // valid input to GDALComputeProximity (and to proximityExact) — every
+    // vertical distance stays Big, the maxDist cap turns it into noData,
+    // and the output is the all-noData raster the reference produces
 
     // distributed prefix/suffix scan: nearest target row strictly
     // above/below each strip, per column — never on the driver

@@ -193,10 +193,15 @@ object Sieve {
     *     (salt-and-pepper noise makes #small ≈ pixels/2 — too big to
     *     materialize on the driver).
     */
-  def sieve(spark: SparkSession, strips: Dataset[IStrip], w: Int, h: Int,
+  def sieve(spark: SparkSession, stripsIn: Dataset[IStrip], w: Int, h: Int,
             threshold: Int, conn: Int,
             bcastRewriteLimit: Long = 4000000L): Dataset[IStrip] = {
     import spark.implicits._
+
+    // the strip set is scanned by three separate stages (summaries,
+    // component stats, final rewrite) — cache it so upstream lineage
+    // (a rasterize/warp feeding the sieve) is not recomputed per stage
+    val strips = stripsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // A: per-strip CC boundary summaries (distributed)
     val summariesDs = strips.map { s =>
@@ -390,8 +395,13 @@ object Sieve {
             sIt.map(s => rewriteStrip(s, w, conn, baseB.value, rootsB.value, rw))
           }
       }
+    // materialize before dropping the caches: `out`'s final rewrite pass
+    // is lazy, and unpersisting first would recompute the whole input
+    // lineage one more time
+    val res = out.localCheckpoint(eager = true)
     summariesDs.unpersist(false)
-    out
+    strips.unpersist(false)
+    res
   }
 
   /** Apply a (root gid → replacement value) map to one strip. */

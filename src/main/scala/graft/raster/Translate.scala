@@ -9,8 +9,11 @@ import graft.raster.Overview.IStrip
   * replication (the default RasterIO path samples src pixel
   * `floor((dst + 0.5) * srcSize / dstSize)`), `-scale` linear rescale, and
   * `-ot` type conversion with GDALCopyWords rounding
-  * (`gdal/gcore/gdal_priv_templates.hpp:156-162`: clamp(v + 0.5) then
-  * truncate — the same rule the checksum float path uses).
+  * (`gdal/gcore/gdal_priv_templates.hpp:156-273`: unsigned destinations
+  * clamp(v + 0.5) then truncate; signed destinations round half away
+  * from zero — note the CHECKSUM float path (`alg/gdalchecksum.cpp:110`)
+  * instead hard-codes floor(v+0.5) clamped at ±2147483647, which
+  * Checksum.scala mirrors separately).
   */
 object Translate {
 
@@ -20,8 +23,11 @@ object Translate {
     if (s < 0) 0 else if (s > 255) 255 else s.toInt
   }
 
+  /** GDALCopyWord double→GInt16 (`gdal_priv_templates.hpp:247-255`):
+    * signed destinations round half AWAY from zero, then C-cast truncate.
+    */
   def toInt16(v: Double): Int = {
-    val s = v + 0.5
+    val s = if (v > 0) v + 0.5 else v - 0.5
     if (s < -32768) -32768 else if (s > 32767) 32767 else s.toInt
   }
 
@@ -30,10 +36,13 @@ object Translate {
     if (s < 0) 0 else if (s > 65535) 65535 else s.toInt
   }
 
+  /** double→int (`gdal_priv_templates.hpp:237-245`): symmetric rounding,
+    * clamp at int min/max, truncate.
+    */
   def toInt32(v: Double): Int = {
-    val s = v + 0.5
-    if (s < -2147483647.0) -2147483647 else if (s > 2147483647.0) 2147483647
-    else math.floor(s).toInt
+    val s = if (v >= 0) v + 0.5 else v - 0.5
+    if (s < -2147483648.0) -2147483648 else if (s > 2147483647.0) 2147483647
+    else s.toInt
   }
 
   /** `-scale src_min src_max dst_min dst_max` linear mapping. */
@@ -55,6 +64,25 @@ object Translate {
     */
   def srcWin(strips: Dataset[IStrip], x0: Int, y0: Int, w: Int, h: Int): Dataset[IStrip] = {
     import strips.sparkSession.implicits._
+    require(w > 0 && h > 0, s"srcWin: non-positive window ${w}x$h")
+    val kept = strips.filter(s => s.yOff + s.height > y0 && s.yOff < y0 + h)
+    // one tiny agg: the window clips strips but never splits them, so the
+    // kept strips are a contiguous run of the original dense indices —
+    // subtracting the first kept index re-derives a DENSE 0..n-1 set
+    // (downstream boundary merges require contiguity); also fetch the
+    // raster width once for x validation
+    val head = kept.groupBy().agg(
+      org.apache.spark.sql.functions.min("stripIdx"),
+      org.apache.spark.sql.functions.min("width")).collect()
+    if (head.isEmpty || head(0).isNullAt(0))
+      return strips.sparkSession.emptyDataset[IStrip]
+    val minIdx = head(0).getInt(0)
+    val srcW = head(0).getInt(1)
+    require(x0 + w > 0 && x0 < srcW,
+      s"srcWin: x window [$x0, ${x0 + w}) falls completely outside raster width $srcW")
+    if (x0 < 0 || x0 + w > srcW)
+      System.err.println(s"[srcWin] window [$x0,${x0 + w}) partially outside " +
+        s"raster width $srcW; out-of-extent pixels are zero-filled. Going on however.")
     strips.flatMap { s =>
       val top = math.max(s.yOff, y0)
       val bot = math.min(s.yOff + s.height, y0 + h)
@@ -67,12 +95,15 @@ object Translate {
           val srcRow = top - s.yOff + r
           var c = 0
           while (c < w) {
-            out(r * w + c) = s.vals(srcRow * s.width + x0 + c)
+            val sx = x0 + c
+            // out-of-extent columns stay zero (reference fill) instead of
+            // silently wrapping into the neighbouring row
+            if (sx >= 0 && sx < s.width) out(r * w + c) = s.vals(srcRow * s.width + sx)
             c += 1
           }
           r += 1
         }
-        Iterator.single(IStrip((top - y0), top - y0, rows, w, out))
+        Iterator.single(IStrip(s.stripIdx - minIdx, top - y0, rows, w, out))
       }
     }
   }

@@ -17,12 +17,13 @@ class RasterOpsSpec extends AnyFunSuite {
     // 2x2 block (1,2,3,4): total 10 -> (10+2)/4 = 3 (plain average 2.5)
     val (out, ow, oh) = Overview.downsampleLocal(Array(1, 2, 3, 4), 2, 2, Overview.Average)
     assert((out.toSeq, ow, oh) === (Seq(3), 1, 1))
-    // odd edge: partial blocks truncate total/count
+    // odd edge: partial blocks round like the reference Byte path —
+    // (dfTotal + nCount/2) / nCount (overview.cpp:390), not truncation
     val (o2, w2, h2) = Overview.downsampleLocal(Array(10, 20, 5, 30, 40, 5, 7, 8, 9), 3, 3, Overview.Average)
     assert(w2 === 2 && h2 === 2)
     assert(o2(0) === (10 + 20 + 30 + 40 + 2) / 4)
-    assert(o2(1) === (5 + 5) / 2)   // right edge column
-    assert(o2(2) === (7 + 8) / 2)   // bottom edge row
+    assert(o2(1) === (5 + 5 + 1) / 2)   // right edge column
+    assert(o2(2) === (7 + 8 + 1) / 2)   // bottom edge row: rounds to 8
     assert(o2(3) === 9)
   }
 
@@ -141,5 +142,52 @@ class RasterOpsSpec extends AnyFunSuite {
     val first = m.find(_.getLong(1) == 2).get
     assert(first.getDouble(2) === 1.0 && first.getDouble(3) === 3.0)
     assert(first.getDouble(4) === 2.0 && first.getDouble(5) === 2.0)
+  }
+
+  test("translate casts round signed half away from zero (GDALCopyWord)") {
+    assert(Translate.toInt16(-2.4) === -2)
+    assert(Translate.toInt16(-2.5) === -3)
+    assert(Translate.toInt16(-7.0) === -7)
+    assert(Translate.toInt32(-2.5) === -3)
+    assert(Translate.toInt32(2.5) === 3)
+    assert(Translate.toByte(-0.4) === 0) // unsigned: +0.5 then clamp at 0
+  }
+
+  test("srcWin: dense strip indices, zero-fill outside extent") {
+    val vals = Array.tabulate(5 * 7)(identity)
+    val strips = (0 until 7 by 2).zipWithIndex.map { case (y0, idx) =>
+      val hh = math.min(2, 7 - y0)
+      IStrip(idx, y0, hh, 5, java.util.Arrays.copyOfRange(vals, y0 * 5, (y0 + hh) * 5))
+    }.toDS()
+    // window starting at y=3 keeps strips 1..3 → re-indexed 0..2
+    val win = Translate.srcWin(strips, 1, 3, 3, 4).collect().sortBy(_.yOff)
+    assert(win.map(_.stripIdx).toSeq === Seq(0, 1, 2))
+    assert(win.map(_.yOff).toSeq === Seq(0, 1, 3))
+    // x window partially outside: in-extent pixels exact, rest zero-filled
+    val wide = Translate.srcWin(strips, 3, 0, 4, 2).collect().sortBy(_.yOff)
+    assert(wide(0).vals.toSeq === Seq(3, 4, 0, 0, 8, 9, 0, 0))
+    // completely-outside x window fails loudly
+    assertThrows[IllegalArgumentException](Translate.srcWin(strips, 9, 0, 3, 2).count())
+  }
+
+  test("proximity with zero target pixels yields all-noData, not a crash") {
+    val strips = (0 until 4 by 2).zipWithIndex.map { case (y0, idx) =>
+      IStrip(idx, y0, 2, 3, Array.fill(6)(1))
+    }.toDS()
+    val out = Proximity.proximity(spark, strips, 3, 4, Set(9), maxDist = 10.0,
+      noData = 65535.0)
+    assert(out.collect().flatMap(_.vals).forall(_ == 65535.0))
+  }
+
+  test("contour stitching survives 3-way junctions at one endpoint") {
+    val p = (1.0, 1.0)
+    val a = Vector((0.0, 0.0), p)
+    val b = Vector(p, (2.0, 0.0))
+    val c = Vector(p, (1.0, 2.0))
+    val out = Contour.stitchChains(Seq(a, b, c))
+    // two chains merge through p; the third must survive intact (the old
+    // single-slot endpoint map dropped its registration)
+    assert(out.map(_.length).sum === a.length + b.length + c.length - 1)
+    assert(out.length === 2)
   }
 }
