@@ -115,7 +115,14 @@ object CellGrid {
   def coverEnvelope(env: Envelope, res: Int): Array[Long] = {
     val x0 = lonToIx(env.minX, res); val x1 = lonToIx(env.maxX, res)
     val y0 = latToIy(env.minY, res); val y1 = latToIy(env.maxY, res)
-    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    val nCells = (x1 - x0 + 1).toLong * (y1 - y0 + 1).toLong
+    // loud, not a silent Int truncation (a world-spanning envelope at
+    // res 16 is 2^32 cells — the caller needs a coarser res, not a
+    // zero-length or negative array)
+    require(nCells <= (1L << 26),
+      s"coverEnvelope: envelope spans $nCells cells at res $res " +
+        "(cap 2^26) — polyfill at a coarser resolution")
+    val out = new Array[Long](nCells.toInt)
     var i = 0
     var x = x0
     while (x <= x1) {

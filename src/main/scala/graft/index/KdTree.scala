@@ -26,21 +26,28 @@ final class KdTree private (xs: Array[Double], ys: Array[Double], ids: Array[Lon
         heapD(size) = d; heapI(size) = id
         var i = size
         size += 1
-        while (i > 0 && heapD((i - 1) / 2) < heapD(i)) {
+        // max-heap under the COMPOSITE (d, id) order: the root must be
+        // the worst kept pair, else an equal-distance candidate compared
+        // only against an arbitrary root corrupts the smallest-ids tie set
+        @inline def worse(a: Int, b: Int): Boolean =
+          heapD(a) > heapD(b) || (heapD(a) == heapD(b) && heapI(a) > heapI(b))
+        while (i > 0 && worse(i, (i - 1) / 2)) {
           val p = (i - 1) / 2
           val td = heapD(p); heapD(p) = heapD(i); heapD(i) = td
           val ti = heapI(p); heapI(p) = heapI(i); heapI(i) = ti
           i = p
         }
       } else if (d < heapD(0) || (d == heapD(0) && id < heapI(0))) {
+        @inline def worse(a: Int, b: Int): Boolean =
+          heapD(a) > heapD(b) || (heapD(a) == heapD(b) && heapI(a) > heapI(b))
         heapD(0) = d; heapI(0) = id
         var i = 0
         var done = false
         while (!done) {
           val l = 2 * i + 1; val r = 2 * i + 2
           var m = i
-          if (l < size && heapD(l) > heapD(m)) m = l
-          if (r < size && heapD(r) > heapD(m)) m = r
+          if (l < size && worse(l, m)) m = l
+          if (r < size && worse(r, m)) m = r
           if (m == i) done = true
           else {
             val td = heapD(m); heapD(m) = heapD(i); heapD(i) = td
@@ -76,19 +83,54 @@ final class KdTree private (xs: Array[Double], ys: Array[Double], ids: Array[Lon
 }
 
 object KdTree {
+  /** Median-split build via iterative quickselect (true O(n log n), no
+    * boxing): each node only needs its range PARTITIONED around the
+    * median under the composite (axis, other-axis, id) order, not fully
+    * sorted — the old per-range tuple sortBy was O(n log^2 n) with three
+    * boxed allocations per comparison.
+    */
   def build(xs: Array[Double], ys: Array[Double], ids: Array[Long]): KdTree = {
     require(xs.length == ys.length && ys.length == ids.length)
     val idx = Array.range(0, xs.length)
-    def sortRange(lo: Int, hi: Int, axisX: Boolean): Unit = {
-      if (hi - lo < 1) return
-      val sub = java.util.Arrays.copyOfRange(idx, lo, hi + 1)
-      val sorted = sub.sortBy(i => if (axisX) (xs(i), ys(i), ids(i)) else (ys(i), xs(i), ids(i)))
-      System.arraycopy(sorted, 0, idx, lo, sorted.length)
-      val mid = (lo + hi) >>> 1
-      sortRange(lo, mid - 1, !axisX)
-      sortRange(mid + 1, hi, !axisX)
+    @inline def swap(a: Int, b: Int): Unit = {
+      val t = idx(a); idx(a) = idx(b); idx(b) = t
     }
-    sortRange(0, idx.length - 1, axisX = true)
+    // composite total order on point indices
+    def lt(a: Int, b: Int, axisX: Boolean): Boolean = {
+      val p1 = if (axisX) xs(a) else ys(a); val p2 = if (axisX) xs(b) else ys(b)
+      if (p1 != p2) p1 < p2
+      else {
+        val s1 = if (axisX) ys(a) else xs(a); val s2 = if (axisX) ys(b) else xs(b)
+        if (s1 != s2) s1 < s2 else ids(a) < ids(b)
+      }
+    }
+    // Hoare quickselect: place the mid-th element, partitioning the range
+    def nth(lo0: Int, hi0: Int, mid: Int, axisX: Boolean): Unit = {
+      var lo = lo0; var hi = hi0
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (lt(idx(m), idx(lo), axisX)) swap(m, lo)
+        if (lt(idx(hi), idx(lo), axisX)) swap(hi, lo)
+        if (lt(idx(hi), idx(m), axisX)) swap(hi, m)
+        val pivot = idx(m) // point index; its coords never move
+        var i = lo - 1; var j = hi + 1
+        var cont = true
+        while (cont) {
+          i += 1; while (lt(idx(i), pivot, axisX)) i += 1
+          j -= 1; while (lt(pivot, idx(j), axisX)) j -= 1
+          if (i >= j) cont = false else swap(i, j)
+        }
+        if (mid <= j) hi = j else lo = j + 1
+      }
+    }
+    def buildRange(lo: Int, hi: Int, axisX: Boolean): Unit = {
+      if (hi - lo < 1) return
+      val mid = (lo + hi) >>> 1
+      nth(lo, hi, mid, axisX)
+      buildRange(lo, mid - 1, !axisX)
+      buildRange(mid + 1, hi, !axisX)
+    }
+    buildRange(0, idx.length - 1, axisX = true)
     new KdTree(xs, ys, ids, idx)
   }
 }

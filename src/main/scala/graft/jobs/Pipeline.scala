@@ -32,8 +32,8 @@ import graft.operators.SpatialJoin
   *
   * The per-row invariant (byte-identical `text` per `url`,
   * BASELINE.json.input_hint) holds by construction: `text` is carried
-  * through untouched as a projection; [[graft.tools.PipelineCheck]]
-  * verifies it by anti-joining output against input on (url, text).
+  * through untouched as a projection; PipelineSpec verifies it by
+  * anti-joining output against input on (url, text).
   */
 /** JVM-static commit counter for the mid-batch kill test hook (local-mode
   * task closures are serialized copies — a captured counter would not be
@@ -154,6 +154,11 @@ object Pipeline {
           // streaming writer per pid, commit each pid independently
           val writers = scala.collection.mutable.HashMap
             .empty[Int, (Path, TaskParquet.RowFileWriter, Array[Long])]
+          // on ANY failure mid-partition, close and delete every open tmp
+          // writer — leaked parquet-mr writers hold buffers and file
+          // handles across task retries
+          var committed = false
+          try {
           it.foreach { row =>
             val pid = row.getInt(pidIdx)
             val (_, w, stat) = writers.getOrElseUpdate(pid, {
@@ -184,6 +189,14 @@ object Pipeline {
             if (failAfter >= 0 && k > failAfter)
               throw new RuntimeException(
                 s"injected failure after $k partition commits (test hook)")
+          }
+          committed = true
+          } finally {
+            if (!committed) writers.valuesIterator.foreach { case (tmp, w, _) =>
+              try w.close() catch { case _: Throwable => () }
+              try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+              catch { case _: Throwable => () }
+            }
           }
         }
       }
@@ -237,10 +250,14 @@ object Pipeline {
   def runOnPath(spark: SparkSession, inputPath: String, zones: DataFrame,
                 cfg: Config): Seq[BatchResult] = {
     val fs = new Path(inputPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new Path(inputPath))
-      .map(_.getPath.toString)
-      .filter(p => p.endsWith(".parquet") && !p.contains("/_"))
-      .sorted
+    // recursive: PageTable.write produces a ts_day=...-partitioned layout,
+    // so a flat listStatus would see only directories and find no files
+    val files = {
+      val it = fs.listFiles(new Path(inputPath), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) buf += it.next().getPath.toString
+      buf.filter(p => p.endsWith(".parquet") && !p.contains("/_")).sorted.toArray
+    }
     require(files.nonEmpty, s"no parquet files under $inputPath")
     val perBatch: Array[Array[String]] =
       Array.tabulate(cfg.nBatches)(b => files.zipWithIndex.collect {
@@ -252,7 +269,15 @@ object Pipeline {
       else spark.read.parquet(perBatch(b): _*), zones)
   }
 
-  /** Read back the full (resumed) output. */
-  def output(spark: SparkSession, cfg: Config): DataFrame =
-    spark.read.parquet((0 until cfg.nBatches).map(b => s"${cfg.outDir}/batch=$b"): _*)
+  /** Read back the full (resumed) output. A batch whose every page had
+    * zero coordinate mentions commits a lineage record but never creates
+    * its directory — skip those instead of failing the read.
+    */
+  def output(spark: SparkSession, cfg: Config): DataFrame = {
+    val fs = new Path(cfg.outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = (0 until cfg.nBatches).map(b => s"${cfg.outDir}/batch=$b")
+      .filter(d => fs.exists(new Path(d)))
+    require(dirs.nonEmpty, s"no committed batch output under ${cfg.outDir}")
+    spark.read.parquet(dirs: _*)
+  }
 }

@@ -21,6 +21,15 @@ import java.sql.Timestamp
   * synthesized rather than fetched.
   */
 object Pages {
+  // Locale.ROOT formatting: the f-interpolator uses the JVM default
+  // locale, so a de/fr executor would emit comma decimals that neither
+  // geo_extract nor the WKT parser accept — breaking the "same n, same
+  // bytes, any JVM" determinism contract
+  private def d4(v: Double): String =
+    java.lang.String.format(java.util.Locale.ROOT, "%.4f", java.lang.Double.valueOf(v))
+  private def d6(v: Double): String =
+    java.lang.String.format(java.util.Locale.ROOT, "%.6f", java.lang.Double.valueOf(v))
+
 
   /** splitmix64 — stable across JVMs, cheap, well-mixed. */
   @inline def mix(z0: Long): Long = {
@@ -72,9 +81,9 @@ object Pages {
         case 0 =>
           val ns = if (lat < 0) "S" else "N"
           val ew = if (lon < 0) "W" else "E"
-          sb.append(f" ${math.abs(lat)}%.4f$ns ${math.abs(lon)}%.4f$ew")
-        case 1 => sb.append(f" lat=$lat%.4f lon=$lon%.4f")
-        case _ => sb.append(f" geo:$lat%.6f,$lon%.6f")
+          sb.append(" " + d4(math.abs(lat)) + ns + " " + d4(math.abs(lon)) + ew)
+        case 1 => sb.append(" lat=" + d4(lat) + " lon=" + d4(lon))
+        case _ => sb.append(" geo:" + d6(lat) + "," + d6(lon))
       }
       c += 1
     }
@@ -106,9 +115,10 @@ object Pages {
       val y0 = cy - ht / 2; val y1 = cy + ht / 2
       val nx = x0 + w * 0.4; val nx2 = x0 + w * 0.6; val ny = y1 - ht * 0.35
       // concave notch on the top edge exercises real PIP (not just bbox)
-      val wkt = f"POLYGON (($x0%.4f $y0%.4f,$x1%.4f $y0%.4f,$x1%.4f $y1%.4f," +
-        f"$nx2%.4f $y1%.4f,$nx2%.4f $ny%.4f,$nx%.4f $ny%.4f,$nx%.4f $y1%.4f," +
-        f"$x0%.4f $y1%.4f,$x0%.4f $y0%.4f))"
+      def pt(x: Double, y: Double): String = d4(x) + " " + d4(y)
+      val wkt = "POLYGON ((" + Seq(pt(x0, y0), pt(x1, y0), pt(x1, y1),
+        pt(nx2, y1), pt(nx2, ny), pt(nx, ny), pt(nx, y1),
+        pt(x0, y1), pt(x0, y0)).mkString(",") + "))"
       (i.toLong, wkt)
     }
   }

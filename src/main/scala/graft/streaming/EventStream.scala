@@ -22,6 +22,12 @@ object EventStream {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
+  /** One schema derived from the case class — hand-copied literals in the
+    * two file jobs could drift from Event silently.
+    */
+  private val eventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[Event].schema
+
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               n_events: Long, duration_sec: Long)
@@ -45,17 +51,7 @@ object EventStream {
                           inDir: String, outDir: String,
                           checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType)))
+    val schema = eventSchema
     val in = spark.readStream.schema(schema).parquet(inDir)
     hourlyCounts(in)
       .writeStream
@@ -78,17 +74,7 @@ object EventStream {
                         gapMinutes: Int = 30)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType)))
+    val schema = eventSchema
     val in = spark.readStream.schema(schema).parquet(inDir).as[Event]
     sessionize(in, gapMinutes)
       .writeStream
@@ -124,7 +110,12 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                  // a late-but-within-watermark event can arrive BELOW the
+                  // session's current extent (cross-batch out-of-order):
+                  // extend the span, never regress it — a regressed lastTs
+                  // yields negative durations and spurious gap splits
+                  cur = Some(SessionState(math.min(s.sessionStart, t),
+                    math.max(s.lastTs, t), s.nEvents + 1))
                 case Some(s) => // gap exceeded: close previous, open new
                   out ::= SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
                     s.nEvents, (s.lastTs - s.sessionStart) / 1000)

@@ -75,6 +75,34 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("kdTree knn ties resolve to the smallest ids (oracle order)") {
+    val xs = Array(1.0, 0.0, -1.0)
+    val ys = Array(0.0, 1.0, 0.0)
+    val ids = Array(5L, 7L, 2L) // all at distance 1 from the origin
+    val t = graft.index.KdTree.build(xs, ys, ids)
+    assert(t.knn(0.0, 0.0, 2).map(_._2).toSeq == Seq(2L, 5L))
+  }
+
+  test("coverEnvelope rejects cell counts that would overflow, loudly") {
+    val world = graft.core.Envelope(-180, -90, 180, 90)
+    assertThrows[IllegalArgumentException](
+      graft.index.CellGrid.coverEnvelope(world, 16))
+    assert(graft.index.CellGrid.coverEnvelope(world, 5).nonEmpty)
+  }
+
+  test("page/zone synthesis is locale-independent (Locale.ROOT decimals)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // comma decimals
+      val wkt = graft.sources.Pages.zones(2).head._2
+      graft.core.Geom.fromWkt(wkt) // parses: dot decimals survived
+      val pg = graft.sources.Pages.synth(spark, 50L)
+        .selectExpr("geo_extract(text) AS c").selectExpr("size(c)")
+        .as[Int].collect()
+      assert(pg.exists(_ > 0), "no coordinates extracted under de locale")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("unitCount: whitespace is never a unit") {
     val df = Seq("a\tb", "line1\nline2", "hi, there!", "").toDF("t")
     val got = df.select(TextOps.unitCount(col("t"))).as[Int].collect().toSeq

@@ -64,6 +64,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: cross-batch out-of-order event extends, never regresses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: state (start=20min, last=20min); watermark still at -2h
+      input.addData(Event(1, ts(20), 7, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event 15 min earlier — merges (|gap| <= 30 min)
+      // and must extend the session span backwards, not regress lastTs
+      input.addData(Event(2, ts(5), 7, "click", 1.0))
+      q.processAllAvailable()
+      // flush: move the watermark far past the session timeout
+      input.addData(Event(3, ts(600), 8, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(1200), 8, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_ooo")
+        .filter($"user_id" === 7L)
+        .select($"n_events", $"duration_sec").as[(Long, Long)]
+        .collect().toSet
+      // one session of 2 events spanning 5..20 min = 900 s (the regressed
+      // fold yielded a NEGATIVE duration of -900 s here)
+      assert(rows === Set((2L, 900L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("file job: kill + checkpoint restart is exactly-once") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
