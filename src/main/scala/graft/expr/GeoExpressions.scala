@@ -326,14 +326,25 @@ case class GeoExtract(child: Expression)
 
 object GeoExtract {
   private val NUM = "[-+]?\\d{1,3}(?:\\.\\d+)?"
-  // boundary guards: a match must not start inside a longer number/word
+  private val P1 = java.util.regex.Pattern.compile(s"($NUM)([NS])\\s+($NUM)([EW])")
+  private val P2 = java.util.regex.Pattern.compile(s"lat=($NUM)\\s+lon=($NUM)")
+  private val P3 = java.util.regex.Pattern.compile(s"geo:($NUM),($NUM)")
+
+  // Boundary guards as MANUAL char checks on each (rare) match instead of
+  // regex lookarounds: a match must not start inside a longer number/word
   // ("id 1085.5N" must not yield 85.5N; "splat=1" must not yield lat=1)
-  // and the hemisphere letter must be a whole token ("12.5Now" is prose)
-  private val B = "(?<![\\p{L}\\p{N}.])"
-  private val P1 = java.util.regex.Pattern.compile(
-    s"$B($NUM)([NS])(?![\\p{L}\\p{N}])\\s+($NUM)([EW])(?![\\p{L}\\p{N}])")
-  private val P2 = java.util.regex.Pattern.compile(s"${B}lat=($NUM)\\s+lon=($NUM)")
-  private val P3 = java.util.regex.Pattern.compile(s"${B}geo:($NUM),($NUM)")
+  // and the hemisphere letter must end a token ("12.5Now" is prose).
+  // Lookbehinds in the patterns cost ~3x on the per-page scan — this
+  // expression is the flagship pipeline's hot path.
+  @inline private def okBefore(s: String, start: Int): Boolean = {
+    if (start == 0) true
+    else {
+      val c = s.charAt(start - 1)
+      !(Character.isLetterOrDigit(c) || c == '.')
+    }
+  }
+  @inline private def okAfter(s: String, end: Int): Boolean =
+    end >= s.length || !Character.isLetterOrDigit(s.charAt(end))
 
   /** Reused per-thread matchers: this expression runs once per page in the
     * flagship pipeline; matcher reuse keeps the 32-thread allocation rate
@@ -353,25 +364,31 @@ object GeoExtract {
     val s = text.toString
     m1.reset(s)
     while (m1.find()) {
-      // hemisphere letters denote the sign of the MAGNITUDE: "-12.5S"
-      // must stay south, not double-negate to +12.5
-      val lat = math.abs(java.lang.Double.parseDouble(m1.group(1))) *
-        (if (m1.group(2) == "S") -1 else 1)
-      val lon = math.abs(java.lang.Double.parseDouble(m1.group(3))) *
-        (if (m1.group(4) == "W") -1 else 1)
-      if (valid(lat, lon)) buf += InternalRow(lat, lon)
+      if (okBefore(s, m1.start) && okAfter(s, m1.end(2)) && okAfter(s, m1.end(4))) {
+        // hemisphere letters denote the sign of the MAGNITUDE: "-12.5S"
+        // must stay south, not double-negate to +12.5
+        val lat = math.abs(java.lang.Double.parseDouble(m1.group(1))) *
+          (if (m1.group(2) == "S") -1 else 1)
+        val lon = math.abs(java.lang.Double.parseDouble(m1.group(3))) *
+          (if (m1.group(4) == "W") -1 else 1)
+        if (valid(lat, lon)) buf += InternalRow(lat, lon)
+      }
     }
     m2.reset(s)
     while (m2.find()) {
-      val lat = java.lang.Double.parseDouble(m2.group(1))
-      val lon = java.lang.Double.parseDouble(m2.group(2))
-      if (valid(lat, lon)) buf += InternalRow(lat, lon)
+      if (okBefore(s, m2.start)) {
+        val lat = java.lang.Double.parseDouble(m2.group(1))
+        val lon = java.lang.Double.parseDouble(m2.group(2))
+        if (valid(lat, lon)) buf += InternalRow(lat, lon)
+      }
     }
     m3.reset(s)
     while (m3.find()) {
-      val lat = java.lang.Double.parseDouble(m3.group(1))
-      val lon = java.lang.Double.parseDouble(m3.group(2))
-      if (valid(lat, lon)) buf += InternalRow(lat, lon)
+      if (okBefore(s, m3.start)) {
+        val lat = java.lang.Double.parseDouble(m3.group(1))
+        val lon = java.lang.Double.parseDouble(m3.group(2))
+        if (valid(lat, lon)) buf += InternalRow(lat, lon)
+      }
     }
     new GenericArrayData(buf.toArray)
   }

@@ -30,6 +30,17 @@ object Pages {
   private def d6(v: Double): String =
     java.lang.String.format(java.util.Locale.ROOT, "%.6f", java.lang.Double.valueOf(v))
 
+  /** Append centi-degrees as a fixed "I.FF" + trailing zeros — exact,
+    * allocation-free, locale-independent.
+    */
+  private def appendCenti(sb: StringBuilder, centi: Int, zeros: String): Unit = {
+    var c = centi
+    if (c < 0) { sb.append('-'); c = -c }
+    sb.append(c / 100).append('.')
+    val f = c % 100
+    sb.append(('0' + f / 10).toChar).append(('0' + f % 10).toChar).append(zeros)
+  }
+
 
   /** splitmix64 — stable across JVMs, cheap, well-mixed. */
   @inline def mix(z0: Long): Long = {
@@ -74,16 +85,25 @@ object Pages {
     var c = 0
     while (c < nCoords) {
       val hc = mix(h2 + 17 * c)
-      val lat = ((hc & 0x3ffff) % 18000).toDouble / 100.0 - 90.0 // [-90, 90)
-      val lon = (((hc >>> 20) & 0x7ffff) % 36000).toDouble / 100.0 - 180.0
+      // integer centi-degrees: the generated grid is exact hundredths, so
+      // formatting from the integer is byte-identical to %.4f/%.6f of the
+      // double while skipping java.util.Formatter entirely (Formatter was
+      // ~2/3 of the whole page-synthesis cost) — and locale-proof
+      val latC = ((hc & 0x3ffff) % 18000).toInt - 9000 // [-90.00, 90.00)
+      val lonC = (((hc >>> 20) & 0x7ffff) % 36000).toInt - 18000
       // grammar form rotates among the three geo_extract patterns
       (hc >>> 60) % 3 match {
         case 0 =>
-          val ns = if (lat < 0) "S" else "N"
-          val ew = if (lon < 0) "W" else "E"
-          sb.append(" " + d4(math.abs(lat)) + ns + " " + d4(math.abs(lon)) + ew)
-        case 1 => sb.append(" lat=" + d4(lat) + " lon=" + d4(lon))
-        case _ => sb.append(" geo:" + d6(lat) + "," + d6(lon))
+          val ns = if (latC < 0) "S" else "N"
+          val ew = if (lonC < 0) "W" else "E"
+          sb.append(' '); appendCenti(sb, math.abs(latC), "00"); sb.append(ns)
+          sb.append(' '); appendCenti(sb, math.abs(lonC), "00"); sb.append(ew)
+        case 1 =>
+          sb.append(" lat="); appendCenti(sb, latC, "00")
+          sb.append(" lon="); appendCenti(sb, lonC, "00")
+        case _ =>
+          sb.append(" geo:"); appendCenti(sb, latC, "0000")
+          sb.append(','); appendCenti(sb, lonC, "0000")
       }
       c += 1
     }
