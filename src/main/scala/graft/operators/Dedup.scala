@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -66,7 +67,7 @@ object Dedup {
       explode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> named_struct('band', b, 'key', xxhash64(b, slice(sig, b * $rows + 1, $rows))))")).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
-      .localCheckpoint(true)
+      .ckpt()
     val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -37,7 +38,7 @@ object GraphOps {
       val newLabels = labels.select(col("vertex"), col("comp"))
         .union(msgs)
         .groupBy(col("vertex")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = true)
+        .ckpt()
       val changed = newLabels.alias("n")
         .join(labels.alias("o"), col("n.vertex") === col("o.vertex"))
         .filter(col("n.comp") =!= col("o.comp")).limit(1).count()
@@ -213,7 +214,7 @@ object GraphOps {
       var dist = spurs.toDF("spur", "vertex")
         .withColumn("cost", lit(0.0))
         .withColumn("path", array(col("vertex")))
-        .localCheckpoint(true)
+        .ckpt()
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -233,7 +234,7 @@ object GraphOps {
             col("path"))).as("m"))
           .select(col("spur"), col("vertex"),
             col("m.cost").as("cost"), col("m.path").as("path"))
-          .localCheckpoint(eager = true)
+          .ckpt()
         // exact, order-insensitive convergence: any (spur, vertex) that
         // appeared or whose (cost, hops, path) struct strictly decreased
         val changed = newDist.as("n")
@@ -339,7 +340,7 @@ object GraphOps {
         .select(col("v").as("vertex"), (col("dist") + col("w")).as("dist"))
       val newDist = dist.union(relaxed)
         .groupBy(col("vertex")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = true)
+        .ckpt()
       // converged iff no vertex appeared or improved — an exact,
       // shuffle-order-insensitive test (float-sum equality is not: Spark
       // sums doubles in partition order, so equal sets can compare unequal

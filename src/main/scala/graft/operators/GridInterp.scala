@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.gf
@@ -313,10 +314,10 @@ object GridInterp {
           }
         }.persist()
       val roundDone = res.filter(_.done).map(r => (r.qid, r.v)).toDF("qid", "lin_v")
-        .localCheckpoint(true)
+        .ckpt()
       resolved = if (resolved == null) roundDone else resolved.union(roundDone)
       val next = res.filter(!_.done).map(r => CQry(r.cell, r.qid, r.qx, r.qy))
-        .localCheckpoint(true)
+        .ckpt()
       unresolved.unpersist(false)
       res.unpersist(false)
       unresolved = next

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Ckpt.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,7 +52,7 @@ object KnnJoin {
     // via an anti-join; rounds double the candidate ring.
     var pending = queries.select(qid.cast("long").as("__qid"),
         qlon.cast("double").as("__qlon"), qlat.cast("double").as("__qlat"))
-      .localCheckpoint(true)
+      .ckpt()
     var nPending = pending.count()
     require(nPending > 0, "knn: no queries")
     var ring = initialRing
@@ -119,14 +120,14 @@ object KnnJoin {
         .withColumnRenamed("__dist", "dist")
       acc = if (acc == null) part else acc.unionByName(part)
 
-      pending = pending.join(doneQ, Seq("__qid"), "left_anti").localCheckpoint(true)
+      pending = pending.join(doneQ, Seq("__qid"), "left_anti").ckpt()
       nPending = pending.count()
       ring *= 2
     }
     require(nPending == 0, s"knn did not converge for $nPending queries")
     // materialize the (small) result, then free every round cache so a
     // long session doesn't accumulate executor-memory pressure
-    val out = acc.localCheckpoint(true)
+    val out = acc.ckpt()
     roundCaches.result().foreach(_.unpersist(false))
     out
   }

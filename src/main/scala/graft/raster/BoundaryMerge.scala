@@ -1,6 +1,7 @@
 package graft.raster
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core.Ckpt.CkptOps
 
 /** Distributed strip-boundary component merge for the 2-phase connected-
   * components layout (polygonize, sieve).
@@ -10,15 +11,24 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * raster). Here the boundary matching itself runs in a shuffle: strip k
   * contributes its bottom row to boundary k and its top row to boundary
   * k−1; each boundary group (two rows) emits only the DEDUPED global-id
-  * equivalence pairs found along it. The driver collects
-  * O(#boundary components) pairs plus one (stripIdx, nIds) int pair per
-  * strip — never pixel rows — and runs the union-find over those.
+  * equivalence pairs found along it.
+  *
+  * The union-find over those pairs is two-mode:
+  *  - pairs ≤ `driverPairLimit`: collect and union-find on the driver
+  *    (one small job, zero extra shuffles — the common case);
+  *  - pairs  > `driverPairLimit` (salt-and-pepper noise is ~width/2 pairs
+  *    PER SEAM, so a 10⁶-px-wide raster in 10³ strips is ~5·10⁸ pairs —
+  *    driver OOM territory): [[graft.operators.UnionFind]] resolves roots
+  *    distributed (min-label propagation + pointer doubling), and the
+  *    per-strip root maps travel to consumers as extra [[Side]] rows in the
+  *    same cogroup stream as the halos. The driver then never sees
+  *    per-pixel-derived data at all (`lastDriverPairs == 0`).
   *
   * The "previous strip's bottom row" halo that downstream passes need is
   * likewise a Dataset keyed by the consuming strip's index (cogroup it
   * with the strips), not a driver-built broadcast map of full rows.
   */
-object BoundaryMerge {
+object BoundaryMerge extends Serializable {
 
   /** Per-strip boundary summary from the local CC pass: local component
     * count plus the top/bottom pixel rows with their final local ids.
@@ -28,32 +38,90 @@ object BoundaryMerge {
       topVals: Array[Int], topIds: Array[Int],
       botVals: Array[Int], botIds: Array[Int])
 
-  /** Bottom-row halo of strip `stripIdx − 1`, keyed by the CONSUMING
-    * strip: pixel values + global root ids.
+  /** Per-strip side-channel row, keyed by the CONSUMING strip. Exactly one
+    * of the two payloads is set:
+    *  - halo rows (`haloVals != null`): the bottom pixel row of strip
+    *    `stripIdx − 1` with global ROOT ids — what the strip below needs;
+    *  - root rows (`rootGids != null`, distributed mode only): the
+    *    (gid → root) entries for stripIdx's OWN global ids, replacing the
+    *    driver/broadcast roots map.
     */
-  final case class Halo(stripIdx: Int, vals: Array[Int], gids: Array[Long])
+  final case class Side(stripIdx: Int,
+                        haloVals: Array[Int], haloGids: Array[Long],
+                        rootGids: Array[Long], rootRoots: Array[Long])
 
   /** @param base   prefix-sum of per-strip local component counts
     *               (base(k) = first global id of strip k); length nStrips+1
-    * @param roots  union-find results (non-root gids only)
-    * @param halos  bottom-row halo per consuming strip (lazy, distributed)
-    * @param nPairs number of equivalence pairs the driver collected —
-    *               the ONLY per-pixel-derived driver traffic, O(#boundary
-    *               components) after per-boundary dedup
+    * @param roots  union-find results (non-root gids only); EMPTY in
+    *               distributed mode — consumers must resolve via [[Side]]
+    *               root rows then (`root(gid)` below does both)
+    * @param side   halo rows (+ root rows in distributed mode), keyed by
+    *               consuming strip (lazy, distributed)
+    * @param nPairs number of equivalence pairs found along all boundaries
+    * @param distributed true when the union-find ran as a Spark job and
+    *               `roots` is intentionally empty
     */
   final case class Merged(base: Array[Long], roots: Map[Long, Long],
-                          halos: Dataset[Halo], nPairs: Int)
+                          side: Dataset[Side], nPairs: Long,
+                          distributed: Boolean)
+
+  /** Resolve a gid against per-strip root arrays (distributed mode) or a
+    * broadcast map (driver mode) — exactly one source is populated.
+    */
+  @inline def lookup(localRoots: scala.collection.Map[Long, Long],
+                     bcast: Map[Long, Long], gid: Long): Long =
+    if (localRoots != null) localRoots.getOrElse(gid, gid)
+    else bcast.getOrElse(gid, gid)
+
+  /** Root lookup over parallel (gid, root) arrays — identity when null. */
+  def rootFn(rg: Array[Long], rr: Array[Long]): Long => Long =
+    if (rg == null) identity
+    else {
+      val m = new scala.collection.mutable.HashMap[Long, Long]
+      var i = 0
+      while (i < rg.length) { m.put(rg(i), rr(i)); i += 1 }
+      gid => m.getOrElse(gid, gid)
+    }
+
+  /** Build the per-strip root map from Side root rows (null if none). */
+  def sideRootMap(sides: Iterable[Side]): scala.collection.Map[Long, Long] = {
+    var m: scala.collection.mutable.HashMap[Long, Long] = null
+    sides.foreach { sd =>
+      if (sd.rootGids != null) {
+        if (m == null) m = new scala.collection.mutable.HashMap[Long, Long]
+        var i = 0
+        while (i < sd.rootGids.length) { m.put(sd.rootGids(i), sd.rootRoots(i)); i += 1 }
+      }
+    }
+    m
+  }
 
   /** Equivalence pairs collected by the most recent merge (test hook for
-    * asserting driver traffic stays O(pairs) on wide fixtures).
+    * asserting driver traffic: 0 on the distributed path).
     */
-  @volatile var lastDriverPairs: Int = -1
+  @volatile var lastDriverPairs: Long = -1
+
+  /** Above this many equivalence pairs the union-find moves off the driver.
+    * 4M pairs ≈ 64 MB driver-side — comfortably under default driver
+    * memory, far above anything a non-adversarial raster produces.
+    */
+  val DefaultDriverPairLimit: Long = 4000000L
+
+  /** Session-conf key overriding the caller's driverPairLimit. */
+  val DriverPairLimitKey = "spark.graft.boundary.driverPairLimit"
+
+  /** Owner strip of a global id: largest k with base(k) ≤ gid. */
+  @inline def ownerStrip(base: Array[Long], gid: Long): Int = {
+    val pos = java.util.Arrays.binarySearch(base, gid)
+    if (pos >= 0) pos else -(pos + 1) - 1
+  }
 
   /** Strip indices must be contiguous from 0 (they are strip positions).
-    * `summaries` is consumed by three actions — callers should persist it.
+    * `summaries` is consumed by several actions — callers should persist it.
     */
   def merge(spark: SparkSession, summaries: Dataset[BoundarySummary],
-            w: Int, conn: Int): Merged = {
+            w: Int, conn: Int,
+            driverPairLimit: Long = DefaultDriverPairLimit): Merged = {
     import spark.implicits._
     val counts = summaries.map(s => (s.stripIdx, s.nIds)).collect().sortBy(_._1)
     val n = counts.length
@@ -74,7 +142,7 @@ object BoundaryMerge {
       val hi = (s.stripIdx - 1, false, s.topVals, s.topIds)
       if (s.stripIdx == 0) Iterator(lo) else Iterator(lo, hi)
     }
-    val pairs: Array[(Long, Long)] =
+    val pairsDs: Dataset[(Long, Long)] =
       boundaryRows.groupByKey(_._1).flatMapGroups { (b, it) =>
         var botVals: Array[Int] = null; var botIds: Array[Int] = null
         var topVals: Array[Int] = null; var topIds: Array[Int] = null
@@ -107,38 +175,79 @@ object BoundaryMerge {
           }
           out.result().iterator
         }
-      }.collect()
-    lastDriverPairs = pairs.length
-
-    // driver union-find over pairs only
-    val parent = new scala.collection.mutable.HashMap[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-      r
-    }
-    pairs.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val roots: Map[Long, Long] = parent.keys.map(x => x -> find(x)).toMap
-    val rootsB = sc.broadcast(roots)
-
-    val halos = summaries.map { s =>
-      val sBase = baseB.value(s.stripIdx)
-      val rm = rootsB.value
-      val g = new Array[Long](s.botIds.length)
-      var x = 0
-      while (x < g.length) {
-        val id = s.botIds(x)
-        g(x) = if (id == -1) -1L
-               else { val gid = sBase + id; rm.getOrElse(gid, gid) }
-        x += 1
       }
-      Halo(s.stripIdx + 1, s.botVals, g)
+    val pairsPersisted = pairsDs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairsPersisted.count()
+
+    // session-conf override (cluster tuning / test forcing)
+    val limit = spark.conf.get(DriverPairLimitKey, driverPairLimit.toString).toLong
+    if (nPairs <= limit) {
+      // ---- driver mode: collect pairs, union-find in memory ----
+      val pairs = pairsPersisted.collect()
+      pairsPersisted.unpersist(false)
+      lastDriverPairs = pairs.length.toLong
+
+      val parent = new scala.collection.mutable.HashMap[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val roots: Map[Long, Long] = parent.keys.map(x => x -> find(x)).toMap
+      val rootsB = sc.broadcast(roots)
+
+      val side = summaries.map { s =>
+        val sBase = baseB.value(s.stripIdx)
+        val rm = rootsB.value
+        val g = new Array[Long](s.botIds.length)
+        var x = 0
+        while (x < g.length) {
+          val id = s.botIds(x)
+          g(x) = if (id == -1) -1L
+                 else { val gid = sBase + id; rm.getOrElse(gid, gid) }
+          x += 1
+        }
+        Side(s.stripIdx + 1, s.botVals, g, null, null)
+      }
+      Merged(base, roots, side, nPairs, distributed = false)
+    } else {
+      // ---- distributed mode: union-find as a Spark job; the driver sees
+      // only the pair COUNT. Roots reach consumers as per-strip Side rows.
+      lastDriverPairs = 0L
+      val rootsDF = graft.operators.UnionFind.roots(pairsPersisted.toDF("a", "b"))
+      pairsPersisted.unpersist(false)
+      val rootRows: Dataset[Side] = rootsDF.as[(Long, Long)]
+        .groupByKey { case (gid, _) => ownerStrip(baseB.value, gid) }
+        .mapGroups { (k, it) =>
+          val gs = Array.newBuilder[Long]; val rs = Array.newBuilder[Long]
+          it.foreach { case (g, r) => gs += g; rs += r }
+          Side(k, null, null, gs.result(), rs.result())
+        }.ckpt() // consumed twice: halo resolution below + the side union
+
+      val haloRows: Dataset[Side] = summaries.groupByKey(_.stripIdx)
+        .cogroup(rootRows.groupByKey(_.stripIdx)) { (_, sIt, rIt) =>
+          val rm = sideRootMap(rIt.toSeq)
+          sIt.map { s =>
+            val sBase = baseB.value(s.stripIdx)
+            val g = new Array[Long](s.botIds.length)
+            var x = 0
+            while (x < g.length) {
+              val id = s.botIds(x)
+              g(x) = if (id == -1) -1L
+                     else { val gid = sBase + id
+                            if (rm != null) rm.getOrElse(gid, gid) else gid }
+              x += 1
+            }
+            Side(s.stripIdx + 1, s.botVals, g, null, null)
+          }
+        }
+      Merged(base, Map.empty, haloRows.union(rootRows), nPairs, distributed = true)
     }
-    Merged(base, roots, halos, pairs.length)
   }
 }

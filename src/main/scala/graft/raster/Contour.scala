@@ -1,5 +1,6 @@
 package graft.raster
 
+import graft.core.Ckpt.CkptOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import graft.core.{GLine, GeoTransform}
 import graft.raster.Dem.DStrip
@@ -248,7 +249,7 @@ object Contour {
           StripChain(level, strip.stripIdx, i, xy)
         }
       }
-    }.localCheckpoint(true) // reused for boundary collection AND final merge
+    }.ckpt() // reused for boundary collection AND final merge
 
     // boundary endpoints → driver union-find over chain ids
     val boundary = chains.flatMap { c =>

@@ -1,5 +1,6 @@
 package graft.raster
 
+import graft.core.Ckpt.CkptOps
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Fill-nodata — interpolate masked-out pixels from the nearest valid
@@ -171,7 +172,7 @@ object FillNodata {
 
     // Phase B: distributed prefix (nearest valid above) / suffix (nearest
     // valid below) per column — two shuffles, nothing on the driver
-    val incoming = StripScan.scan(spark, cols, w).localCheckpoint(true)
+    val incoming = StripScan.scan(spark, cols, w).ckpt()
     cols.unpersist(false)
 
     // Phase C: per-strip materialization + quadrant interpolation (the

@@ -1,5 +1,6 @@
 package graft.raster
 
+import graft.core.Ckpt.CkptOps
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.raster.Overview.IStrip
 import graft.raster.Dem.DStrip
@@ -199,7 +200,7 @@ object Proximity {
     // distributed prefix/suffix scan: nearest target row strictly
     // above/below each strip, per column — never on the driver
     // (materialized eagerly so the cols cache can be dropped)
-    val incoming = StripScan.scan(spark, cols, w).localCheckpoint(true)
+    val incoming = StripScan.scan(spark, cols, w).ckpt()
     cols.unpersist(false)
 
     // Phase B: per-strip vertical scans + row-local 1D EDT

@@ -1,5 +1,6 @@
 package graft.raster
 
+import graft.core.Ckpt.CkptOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Geom, GeoTransform}
@@ -29,7 +30,7 @@ import graft.core.{Geom, GeoTransform}
   *    segments by global polygon id — the classic 2-phase distributed
   *    connected-components layout.
   */
-object RasterStrips {
+object RasterStrips extends Serializable {
 
   /** One shape to burn, WKB-encoded with per-band burn values. */
   final case class ShapeRow(idx: Long, wkb: Array[Byte], burn: Array[Double])
@@ -163,24 +164,30 @@ object RasterStrips {
         topVals, topIds, botVals, botIds)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Phase B: adjacent-boundary shuffle → pairs → driver union-find
+    // Phase B: adjacent-boundary shuffle → pairs → union-find (driver
+    // below the pair limit, distributed Spark job above it)
     val merged = BoundaryMerge.merge(spark, summariesDs, w, conn)
     val rootsB = spark.sparkContext.broadcast(merged.roots)
     val baseB = spark.sparkContext.broadcast(merged.base)
 
     // Phase C: per-strip segment extraction with global ids; the previous
-    // strip's bottom-row halo arrives via cogroup, not a driver broadcast
+    // strip's bottom-row halo (and, in distributed mode, the strip's own
+    // root map) arrives via cogroup, not a driver broadcast
     val lastStripIdx = merged.base.length - 2
     val segs = strips.groupByKey(_.stripIdx)
-      .cogroup(merged.halos.groupByKey(_.stripIdx)) { (_, sIt, hIt) =>
-      val halo = if (hIt.hasNext) Some(hIt.next()) else None
+      .cogroup(merged.side.groupByKey(_.stripIdx)) { (_, sIt, sideIt) =>
+      var haloVals: Array[Int] = null; var haloGids: Array[Long] = null
+      val sides = sideIt.toSeq
+      sides.foreach { sd =>
+        if (sd.haloVals != null) { haloVals = sd.haloVals; haloGids = sd.haloGids }
+      }
+      val localRoots = BoundaryMerge.sideRootMap(sides)
+      val halo = if (haloVals != null) Some((haloVals, haloGids)) else None
       sIt.flatMap { s =>
       val myBase = baseB.value(s.stripIdx)
       val rootMap = rootsB.value
-      @inline def global(localFinal: Int): Long = {
-        val gid = myBase + localFinal
-        rootMap.getOrElse(gid, gid)
-      }
+      @inline def global(localFinal: Int): Long =
+        BoundaryMerge.lookup(localRoots, rootMap, myBase + localFinal)
       val (en1, _, _) = localPass1(s, w, conn)
       // second pass over the strip, reference AddEdges layout with halo row
       val second = new Polygonize.Enumerator(conn)
@@ -192,10 +199,10 @@ object RasterStrips {
       val thisIdLocal = Array.fill(w + 2)(-1)
       var lastRow: Array[Int] = null
       // halo: previous strip's bottom row (values + global ids)
-      halo.foreach { hl =>
+      halo.foreach { case (hVals, hGids) =>
         var x = 0
-        while (x < w) { lastG(x + 1) = hl.gids(x); x += 1 }
-        lastRow = hl.vals
+        while (x < w) { lastG(x + 1) = hGids(x); x += 1 }
+        lastRow = hVals
       }
       val lastIdLocal = Array.fill(w + 2)(-1)
       var prevLocalRow: Array[Int] = null
@@ -271,7 +278,7 @@ object RasterStrips {
         (all(0).value, Geom.toWkb(rp.toPolygon(gt)))
       }
       .toDF("value", "wkb")
-      .localCheckpoint(true) // materialize, then release the strip cache
+      .ckpt() // materialize, then release the strip cache
     summariesDs.unpersist(false)
     strips.unpersist(false)
     out

@@ -1,5 +1,6 @@
 package graft.raster
 
+import graft.core.Ckpt.CkptOps
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.raster.Overview.IStrip
 
@@ -16,7 +17,7 @@ import graft.raster.Overview.IStrip
   * Golden gates: checksums 364 / 370 / 451
   * (`autotest/alg/sieve.py:55,:85,:117`).
   */
-object Sieve {
+object Sieve extends Serializable {
 
   /** Single-node exact port. `vals` row-major (no mask: every value incl.
     * any "nodata" value participates, matching SieveFilter(…, None, …)).
@@ -211,16 +212,31 @@ object Sieve {
         java.util.Arrays.copyOfRange(s.vals, (s.height - 1) * w, s.height * w), botIds)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // B: boundary pairs shuffle → driver union-find over pairs only
+    // B: boundary pairs shuffle → union-find (driver when the pair count
+    // is small, a distributed Spark job otherwise)
     val merged = BoundaryMerge.merge(spark, summariesDs, w, conn)
     val rootsB = spark.sparkContext.broadcast(merged.roots)
     val baseB = spark.sparkContext.broadcast(merged.base)
 
+    // distributed mode: per-strip root arrays ride with the strip via one
+    // cogroup, so the flatMap-shaped stages below never need a broadcast
+    // of the (potentially huge) roots table
+    val enriched: Dataset[(IStrip, Array[Long], Array[Long])] =
+      if (!merged.distributed) null
+      else {
+        val sideRoots = merged.side.filter(sd => sd.rootGids != null)
+        strips.groupByKey(_.stripIdx)
+          .cogroup(sideRoots.groupByKey(_.stripIdx)) { (_, sIt, rIt) =>
+            var rg: Array[Long] = null; var rr: Array[Long] = null
+            rIt.foreach { sd => rg = sd.rootGids; rr = sd.rootRoots }
+            sIt.map(s => (s, rg, rr))
+          }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+
     // C: global component sizes/values — distributed aggregation of
     // per-strip partials (one CompPart row per local component)
-    val compStats = strips.flatMap { s =>
+    def compParts(s: IStrip, root: Long => Long): Iterator[CompPart] = {
       val myBase = baseB.value(s.stripIdx)
-      val rMap = rootsB.value
       val (en, _, _) = localCC(s.vals, w, s.height, conn)
       val sizes = new Array[Int](en.nNextPolygonId)
       var lastId = new Array[Int](w); var thisId = new Array[Int](w)
@@ -242,33 +258,42 @@ object Sieve {
       }
       (0 until en.nNextPolygonId).iterator.filter(sizes(_) > 0).map { f =>
         val gid = myBase + f
-        CompPart(rMap.getOrElse(gid, gid), sizes(f), en.polyValue(f))
+        CompPart(root(gid), sizes(f), en.polyValue(f))
       }
     }
+    val compStats =
+      if (!merged.distributed) strips.flatMap { s =>
+        val rMap = rootsB.value
+        compParts(s, gid => rMap.getOrElse(gid, gid))
+      }
+      else enriched.flatMap { case (s, rg, rr) =>
+        compParts(s, BoundaryMerge.rootFn(rg, rr))
+      }
     import org.apache.spark.sql.functions.{col, count => _, _}
     val sizesDF = compStats.toDF("gid", "size", "value")
       .groupBy(col("gid"))
       .agg(sum(col("size")).cast("int").as("gsize"), first(col("value")).as("gvalue"))
-      .localCheckpoint(true)
+      .ckpt()
 
     // D: scan-ordered effective neighbour pair occurrences (distributed);
     // the previous strip's bottom-row halo arrives via cogroup
     val pairs = strips.groupByKey(_.stripIdx)
-      .cogroup(merged.halos.groupByKey(_.stripIdx)) { (_, sIt, hIt) =>
-      val halo = if (hIt.hasNext) Some(hIt.next()) else None
+      .cogroup(merged.side.groupByKey(_.stripIdx)) { (_, sIt, sideIt) =>
+      val sides = sideIt.toSeq
+      val localRoots = BoundaryMerge.sideRootMap(sides)
       sIt.flatMap { s =>
       val myBase = baseB.value(s.stripIdx)
       val rMap = rootsB.value
-      @inline def global(localFinal: Int): Long = {
-        val gid = myBase + localFinal
-        rMap.getOrElse(gid, gid)
-      }
+      @inline def global(localFinal: Int): Long =
+        BoundaryMerge.lookup(localRoots, rMap, myBase + localFinal)
       val (en1, _, _) = localCC(s.vals, w, s.height, conn)
       val en2 = new Polygonize.Enumerator(conn)
       val out = Seq.newBuilder[NeighborPair]
       var lastG: Array[Long] = null
       var lastRowVals: Array[Int] = null
-      halo.foreach { hl => lastG = hl.gids; lastRowVals = hl.vals }
+      sides.foreach { sd =>
+        if (sd.haloVals != null) { lastG = sd.haloGids; lastRowVals = sd.haloVals }
+      }
       var lastId = new Array[Int](w); var thisId = new Array[Int](w)
       var prevLocalRow: Array[Int] = null
       var r = 0
@@ -336,7 +361,7 @@ object Sieve {
           .otherwise(lit(null).cast("long")).as("next"),
         when(col("q").isNotNull && col("qsize") >= threshold, col("qvalue"))
           .otherwise(lit(null).cast("int")).as("res"))
-    var f = smallPtr0.localCheckpoint(eager = true)
+    var f = smallPtr0.ckpt()
     var active = f.filter(col("next").isNotNull && col("res").isNull).count()
     var prevActive = Long.MaxValue
     var ptrIter = 0
@@ -349,7 +374,7 @@ object Sieve {
           when(f("res").isNotNull, lit(null).cast("long"))
             .otherwise(col("b_next")).as("next"),
           coalesce(f("res"), col("b_res")).as("res"))
-        .localCheckpoint(eager = true)
+        .ckpt()
       f.unpersist()
       f = nf
       active = f.filter(col("next").isNotNull && col("res").isNull).count()
@@ -358,7 +383,7 @@ object Sieve {
     val rewriteDF = f
       .filter(col("res").isNotNull && col("gvalue") =!= Polygonize.NoDataMarker)
       .select(col("gid"), col("res").cast("int").as("res"))
-      .localCheckpoint(eager = true)
+      .ckpt()
     f.unpersist()
 
     // F: per-strip rewrite. The resolved (gid → value) table is applied
@@ -366,47 +391,56 @@ object Sieve {
     // it never materializes on the driver (salt-and-pepper noise makes
     // #small components ≈ pixels/2).
     val nRewrites = rewriteDF.count()
+    // strips with their root source attached: per-strip arrays in
+    // distributed mode, the broadcast map otherwise (null arrays)
+    def withRoots: Dataset[(IStrip, Array[Long], Array[Long])] =
+      if (merged.distributed) enriched
+      else strips.map(s => (s, null: Array[Long], null: Array[Long]))
+    def rootOf(rg: Array[Long], rr: Array[Long]): Long => Long =
+      if (rg != null) BoundaryMerge.rootFn(rg, rr)
+      else { val m = rootsB.value; gid => m.getOrElse(gid, gid) }
     val out =
       if (nRewrites <= bcastRewriteLimit) {
         val rw = rewriteDF.as[(Long, Int)].collect().toMap
         val rewriteB = spark.sparkContext.broadcast(rw)
-        strips.map(s => rewriteStrip(s, w, conn, baseB.value, rootsB.value,
-          rewriteB.value))
+        withRoots.map { case (s, rg, rr) =>
+          rewriteStrip(s, w, conn, baseB.value, rootOf(rg, rr), rewriteB.value) }
       } else {
         // per-strip (root gid) inventory → join with the rewrite table →
         // group the strip's own rewrite entries back to it
-        val stripRoots = strips.flatMap { s =>
+        val stripRoots = withRoots.flatMap { case (s, rg, rr) =>
           val myBase = baseB.value(s.stripIdx)
-          val rMap = rootsB.value
+          val root = rootOf(rg, rr)
           val (en, _, _) = localCC(s.vals, w, s.height, conn)
           val seen = new java.util.HashSet[Long]()
           (0 until en.nNextPolygonId).iterator.flatMap { fId =>
-            val gid = myBase + fId
-            val root = rMap.getOrElse(gid, gid)
-            if (seen.add(root)) Iterator((root, s.stripIdx)) else Iterator.empty
+            val r = root(myBase + fId)
+            if (seen.add(r)) Iterator((r, s.stripIdx)) else Iterator.empty
           }
         }.toDF("gid", "stripIdx")
         val byStrip = stripRoots.join(rewriteDF, "gid")
           .select(col("stripIdx"), col("gid"), col("res"))
           .as[(Int, Long, Int)]
-        strips.groupByKey(_.stripIdx)
+        withRoots.groupByKey(_._1.stripIdx)
           .cogroup(byStrip.groupByKey(_._1)) { (_, sIt, rIt) =>
             val rw: Map[Long, Int] = rIt.map(t => t._2 -> t._3).toMap
-            sIt.map(s => rewriteStrip(s, w, conn, baseB.value, rootsB.value, rw))
+            sIt.map { case (s, rg, rr) =>
+              rewriteStrip(s, w, conn, baseB.value, rootOf(rg, rr), rw) }
           }
       }
     // materialize before dropping the caches: `out`'s final rewrite pass
     // is lazy, and unpersisting first would recompute the whole input
     // lineage one more time
-    val res = out.localCheckpoint(eager = true)
+    val res = out.ckpt()
     summariesDs.unpersist(false)
     strips.unpersist(false)
+    if (enriched != null) enriched.unpersist(false)
     res
   }
 
   /** Apply a (root gid → replacement value) map to one strip. */
   private def rewriteStrip(s: IStrip, w: Int, conn: Int, base: Array[Long],
-                           rMap: Map[Long, Long],
+                           rMap: Long => Long,
                            rw: scala.collection.Map[Long, Int]): IStrip = {
     val myBase = base(s.stripIdx)
     val (en1, _, _) = localCC(s.vals, w, s.height, conn)
@@ -423,7 +457,7 @@ object Sieve {
         val raw = thisId(x)
         if (raw >= 0) {
           val gid = myBase + en1.polyIdMap(raw)
-          val root = rMap.getOrElse(gid, gid)
+          val root = rMap(gid)
           rw.get(root).foreach(v => out(r * w + x) = v)
         }
         x += 1

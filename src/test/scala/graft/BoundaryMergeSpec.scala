@@ -65,6 +65,83 @@ class BoundaryMergeSpec extends AnyFunSuite {
     assert(got.toSeq === expect.toSeq)
   }
 
+  /** Force the distributed union-find (conf limit 0) and compare against
+    * the driver path bit for bit on a salt-and-pepper wide fixture —
+    * 1-px vertical stripes make EVERY column a seam-crossing component
+    * (w/2 pairs per seam, the documented driver-OOM shape at scale).
+    */
+  test("distributed union-find path: polygonize matches driver path, driver sees 0 pairs") {
+    val Wd = 3000; val Hd = 8
+    val vals = Array.tabulate(Wd * Hd)((i: Int) => (i % Wd) % 2)
+    def strips() = (0 until 4).map { i =>
+      ValueStrip(i, i * 2, 2, java.util.Arrays.copyOfRange(vals, i * 2 * Wd, (i + 1) * 2 * Wd))
+    }.toDS()
+    val gt = graft.core.GeoTransform(0, 1, 0, 0, 0, 1)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Int, String)] =
+      df.collect().map(r => (r.getInt(0),
+        r.getAs[Array[Byte]](1).map("%02x".format(_)).mkString)).toSeq.sorted
+    val viaDriver = canon(RasterStrips.polygonize(spark, strips(), Wd, Hd, 4, gt))
+    assert(BoundaryMerge.lastDriverPairs === 3L * Wd) // one pair per column per seam
+    spark.conf.set(BoundaryMerge.DriverPairLimitKey, "0")
+    try {
+      val viaDist = canon(RasterStrips.polygonize(spark, strips(), Wd, Hd, 4, gt))
+      assert(BoundaryMerge.lastDriverPairs === 0L,
+        "distributed path must not collect pairs to the driver")
+      assert(viaDist.length === Wd) // every column its own component
+      assert(viaDist === viaDriver)
+    } finally spark.conf.unset(BoundaryMerge.DriverPairLimitKey)
+  }
+
+  test("distributed union-find path: sieve matches serial, both rewrite paths") {
+    val Wd = 500; val Hd = 9
+    // stripes of width 1 (size 9 each) + a few 2-wide stripes (size 18)
+    val vals = Array.tabulate(Wd * Hd) { (i: Int) =>
+      val x = i % Wd
+      if (x % 10 < 2) 7 else x % 10
+    }
+    val expect = Sieve.sieveLocal(vals, Wd, Hd, 10, 4)
+    spark.conf.set(BoundaryMerge.DriverPairLimitKey, "0")
+    try {
+      for (bcastLimit <- Seq(0L, 4000000L)) {
+        val strips = (0 until 3).map { i =>
+          IStrip(i, i * 3, 3, Wd, java.util.Arrays.copyOfRange(vals, i * 3 * Wd, (i + 1) * 3 * Wd))
+        }.toDS()
+        val got = Sieve.sieve(spark, strips, Wd, Hd, 10, 4, bcastRewriteLimit = bcastLimit)
+          .collect().sortBy(_.yOff).flatMap(_.vals)
+        assert(BoundaryMerge.lastDriverPairs === 0L)
+        assert(got.toSeq === expect.toSeq, s"bcastRewriteLimit=$bcastLimit")
+      }
+    } finally spark.conf.unset(BoundaryMerge.DriverPairLimitKey)
+  }
+
+  test("UnionFind.roots matches a serial union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 400
+    val edges = (0 until 600).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    // serial reference
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0 until n).map(v => v.toLong -> find(v).toLong)
+      .filter(t => t._1 != t._2).toMap
+    val got = graft.operators.UnionFind.roots(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
+  test("UnionFind.roots resolves a long path in logarithmic rounds") {
+    // path 0-1-2-...-299: diameter 299; maxRounds 64 would fail if the
+    // pointer doubling were not compounding with propagation
+    val edges = (0 until 299).map(i => (i.toLong, (i + 1).toLong))
+    val got = graft.operators.UnionFind.roots(edges.toDF("a", "b"), maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1 to 299).map(v => v.toLong -> 0L).toMap)
+  }
+
   test("StripScan prefix/suffix matches a serial scan") {
     val w = 1000
     val n = 7
