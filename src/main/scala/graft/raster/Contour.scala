@@ -21,7 +21,7 @@ import scala.collection.mutable
   * coalesce layout as [[RasterStrips.polygonize]] Phase D. The local
   * kernel below is the per-strip unit.
   */
-object Contour {
+object Contour extends Serializable {
 
   private final val Fudge = 1e-5 // fraction of interval to nudge exact hits
 
@@ -251,41 +251,20 @@ object Contour {
       }
     }.ckpt() // reused for boundary collection AND final merge
 
-    // boundary endpoints → driver union-find over chain ids
-    val boundary = chains.flatMap { c =>
+    // seam-crossing chain endpoints — kept distributed; only a COUNT
+    // reaches the driver before choosing the union-find mode
+    val boundaryDs = chains.flatMap { c =>
       val n = c.xy.length / 2
       Seq((c.xy(0), c.xy(1)), (c.xy(2 * (n - 1)), c.xy(2 * (n - 1) + 1)))
         .filter { case (_, ey) => ey == math.floor(ey) + 0.5 } // on a row seam
         .map { case (ex, ey) => (c.level, c.stripIdx, c.localIdx, ex, ey) }
-    }.collect()
-
-    val parent = mutable.HashMap[(Double, Int, Int), (Double, Int, Int)]()
-    def find(x: (Double, Int, Int)): (Double, Int, Int) = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      r
-    }
-    def union(a: (Double, Int, Int), b: (Double, Int, Int)): Unit = {
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent(if (Ordering[(Double, Int, Int)].gt(ra, rb)) ra else rb) =
-        if (Ordering[(Double, Int, Int)].gt(ra, rb)) rb else ra
-    }
-    boundary.groupBy { case (level, _, _, ex, ey) => (level, ex, ey) }.values.foreach { grp =>
-      val ids = grp.map { case (level, si, li, _, _) => (level, si, li) }.distinct
-      ids.sliding(2).foreach { pair => if (pair.length == 2) union(pair(0), pair(1)) }
-    }
-    val rootOf: Map[(Double, Int, Int), (Double, Int, Int)] =
-      boundary.map { case (level, si, li, _, _) =>
-        val k = (level, si, li); k -> find(k)
-      }.toMap
-    val rootB = spark.sparkContext.broadcast(rootOf)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBoundary = boundaryDs.count()
+    val limit = spark.conf.get(BoundaryMerge.DriverPairLimitKey,
+      BoundaryMerge.DefaultDriverPairLimit.toString).toLong
     val gtB = spark.sparkContext.broadcast(gt)
 
-    // final merge per global chain id
-    chains.groupByKey { c =>
-      val k = (c.level, c.stripIdx, c.localIdx)
-      rootB.value.getOrElse(k, k)
-    }.flatMapGroups { (key, it) =>
+    def mergeGroup(level: Double, it: Iterator[StripChain]): Iterator[(Double, Array[Byte])] = {
       val members = it.toSeq.map { c =>
         (0 until c.xy.length / 2).map(j => (c.xy(2 * j), c.xy(2 * j + 1))).toVector
       }
@@ -295,9 +274,73 @@ object Contour {
         merged.zipWithIndex.foreach { case ((px, py), j) =>
           xy(2 * j) = g.geoX(px, py); xy(2 * j + 1) = g.geoY(px, py)
         }
-        (key._1, graft.core.Geom.toWkb(GLine(xy)))
+        (level, graft.core.Geom.toWkb(GLine(xy)))
       }
-    }.toDF("level", "wkb")
+    }
+
+    val out =
+      if (nBoundary <= limit) {
+        // ---- driver mode: collect endpoints, union-find in memory ----
+        val boundary = boundaryDs.collect()
+        boundaryDs.unpersist(false)
+        val parent = mutable.HashMap[(Double, Int, Int), (Double, Int, Int)]()
+        def find(x: (Double, Int, Int)): (Double, Int, Int) = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          r
+        }
+        def union(a: (Double, Int, Int), b: (Double, Int, Int)): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(if (Ordering[(Double, Int, Int)].gt(ra, rb)) ra else rb) =
+            if (Ordering[(Double, Int, Int)].gt(ra, rb)) rb else ra
+        }
+        boundary.groupBy { case (level, _, _, ex, ey) => (level, ex, ey) }.values.foreach { grp =>
+          val ids = grp.map { case (level, si, li, _, _) => (level, si, li) }.distinct
+          ids.sliding(2).foreach { pair => if (pair.length == 2) union(pair(0), pair(1)) }
+        }
+        val rootOf: Map[(Double, Int, Int), (Double, Int, Int)] =
+          boundary.map { case (level, si, li, _, _) =>
+            val k = (level, si, li); k -> find(k)
+          }.toMap
+        val rootB = spark.sparkContext.broadcast(rootOf)
+
+        chains.groupByKey { c =>
+          val k = (c.level, c.stripIdx, c.localIdx)
+          rootB.value.getOrElse(k, k)
+        }.flatMapGroups { (key, it) => mergeGroup(key._1, it) }
+      } else {
+        // ---- distributed mode: chain ids packed into a Long, equivalence
+        // pairs per seam point, UnionFind as a Spark job, roots joined back
+        // (a continental DEM with 100 levels has millions of endpoint
+        // tuples — never driver-collected here)
+        val lvlIdxB = spark.sparkContext.broadcast(
+          lvls.zipWithIndex.toMap)
+        require(lvls.length <= (1 << 20), "contour: too many levels to pack")
+        def pack(level: Double, si: Int, li: Int): Long = {
+          require(si < (1 << 22) && li < (1 << 22), "contour: pack overflow")
+          (lvlIdxB.value(level).toLong << 44) | (si.toLong << 22) | li.toLong
+        }
+        val pairsDf = boundaryDs.groupByKey(t => (t._1, t._4, t._5))
+          .flatMapGroups { (_, it) =>
+            val ids = mutable.LinkedHashSet[Long]()
+            it.foreach(t => ids += pack(t._1, t._2, t._3))
+            if (ids.size < 2) Iterator.empty
+            else ids.toSeq.sliding(2).map(p => (p(0), p(1))).toVector.iterator
+          }.toDF("a", "b")
+        val rootsDF = graft.operators.UnionFind.roots(pairsDf)
+          .withColumnRenamed("gid", "pid")
+        val keyed = chains.map(c => (pack(c.level, c.stripIdx, c.localIdx), c))
+          .toDF("pid", "c")
+        import org.apache.spark.sql.functions.{coalesce, col}
+        val withRoot = keyed.join(rootsDF, Seq("pid"), "left")
+          .select(coalesce(col("root"), col("pid")).as("gkey"), col("c"))
+          .as[(Long, StripChain)]
+        withRoot.groupByKey(_._1).flatMapGroups { (_, it) =>
+          val ms = it.toSeq
+          mergeGroup(ms.head._2.level, ms.iterator.map(_._2))
+        }
+      }
+    out.toDF("level", "wkb")
   }
 
   /** Join segments sharing endpoints into maximal polylines. */

@@ -79,6 +79,27 @@ class ContourSpec extends AnyFunSuite {
         }
       }.sortBy(_.headOption)
 
+    // second pass through the same layouts with the distributed seam
+    // union-find forced (conf limit 0) — a many-level ripple crosses every
+    // seam dozens of times, exercising pack/UnionFind/join-back
+    spark.conf.set(graft.raster.BoundaryMerge.DriverPairLimitKey, "0")
+    try {
+      val manyLevels = Seq(-5.0, 0.0, 5.0, 10.0, 15.0, 20.0)
+      val strips = (0 until size by 7).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(7, size - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(ripple, y0 * size, (y0 + hh) * size))
+      }.toDS()
+      val dist = Contour.contour(spark, strips, size, size, gt, manyLevels, interval = 10.0)
+        .collect().map(r => (r.getDouble(0), graft.core.Geom.fromWkb(r.getAs[Array[Byte]](1)).asInstanceOf[graft.core.GLine]))
+      val local = Contour.contourLines(ripple, size, size, gt, manyLevels, interval = 10.0)
+      for (level <- manyLevels) {
+        val d = canonChains(dist.filter(_._1 == level).map(_._2).toSeq)
+        val l = canonChains(local(level))
+        assert(d === l, s"distributed ripple level=$level: ${d.size} vs ${l.size} chains")
+      }
+    } finally spark.conf.unset(graft.raster.BoundaryMerge.DriverPairLimitKey)
+
     for ((field, name) <- Seq((vals, "plateau"), (ripple, "ripple")); stripH <- Seq(7, 37, 160)) {
       val strips = (0 until size by stripH).zipWithIndex.map { case (y0, idx) =>
         val hh = math.min(stripH, size - y0)
