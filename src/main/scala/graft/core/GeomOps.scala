@@ -392,15 +392,21 @@ object GeomOps {
         p2.rings.headOption.forall(r => contains(p1, GLine(r.xy))) &&
         // a hole of p1 lying strictly inside p2's interior never crosses
         // p2's exterior ring, so the line test above cannot see it; any
-        // such hole vertex strictly inside p2 disproves containment
+        // such hole VERTEX OR EDGE MIDPOINT strictly inside p2 disproves
+        // containment (vertices alone miss a hole whose vertices all sit
+        // on p2's boundary while its edges dip through p2's interior)
         !p1.rings.drop(1).exists { h =>
           val n = h.xy.length / 2
           var i = 0
           var bad = false
+          @inline def strictlyInside(hx: Double, hy: Double): Boolean =
+            polygonContainsPoint(p2, hx, hy) &&
+              !p2.rings.exists(r => pointOnRingBoundary(r.xy, hx, hy))
           while (!bad && i < n) {
             val hx = h.xy(2 * i); val hy = h.xy(2 * i + 1)
-            if (polygonContainsPoint(p2, hx, hy) &&
-                !p2.rings.exists(r => pointOnRingBoundary(r.xy, hx, hy)))
+            if (strictlyInside(hx, hy)) bad = true
+            else if (i + 1 < n &&
+                strictlyInside((hx + h.xy(2 * i + 2)) / 2, (hy + h.xy(2 * i + 3)) / 2))
               bad = true
             i += 1
           }

@@ -24,12 +24,28 @@ object Ann {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
 
+  /** Cosine similarity of two float-array columns.
+    *
+    * ZERO-NORM SENTINEL: when either vector has zero norm the result is
+    * the mathematically-undefined 0/0; this helper returns −1.0 for such
+    * rows instead of NaN, because Spark orders NaN ABOVE every double and
+    * a single all-zero embedding (failed/padded row) would otherwise rank
+    * FIRST in every top-k. Callers who need to distinguish zero-norm rows
+    * from genuinely opposite vectors should pre-filter
+    * (`aggregate(v,…) != 0`) or use [[cosineOrNull]].
+    */
   def cosine(a: Column, b: Column): Column = {
-    // zero-norm guard: 0/0 = NaN, and Spark orders NaN ABOVE every double,
-    // so a single all-zero embedding (failed/padded row) would rank first
-    // in every top-k; -1 pins such rows to the bottom instead
     val d = l2(a) * l2(b)
     when(d === 0.0, lit(-1.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Cosine similarity with NULL (not a −1.0 sentinel) for zero-norm
+    * inputs — the variant for direct analytical use where "undefined" must
+    * stay distinguishable from "opposite".
+    */
+  def cosineOrNull(a: Column, b: Column): Column = {
+    val d = l2(a) * l2(b)
+    when(d === 0.0, lit(null).cast("double")).otherwise(dot(a, b) / d)
   }
 
   /** Exact top-k by cosine for each query vector.
@@ -193,9 +209,11 @@ object Ann {
     * per-partition heaps. No all-pairs stage anywhere.
     *
     * @param sampleMod keep every row whose xxhash64(id) % sampleMod == 0
-    *                  for codebook training. Default 0 = auto: one count()
-    *                  of the corpus picks sampleMod so ~nlist·40 rows reach
-    *                  the driver — never a full-corpus collect at scale.
+    *                  for codebook training. Default 0 = auto: bottom-k by
+    *                  xxhash64(id) (TakeOrdered — per-partition heaps, ONE
+    *                  scan of the corpus, no count() pre-pass) takes exactly
+    *                  nlist·40 rows to the driver — never a full-corpus
+    *                  collect at scale.
     */
   def ivfTopK(corpus: DataFrame, id: Column, vec: Column,
               queries: DataFrame, qid: Column, qvec: Column,
@@ -204,14 +222,20 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c0 = corpus.select(id.cast("long").as("id"), vec.as("__v"))
-    // deterministic sample for training, bounded to ~nlist·40 rows unless
-    // the caller pins an explicit sampleMod
-    val mod: Long =
-      if (sampleMod >= 1) sampleMod.toLong
-      else math.max(1L, c0.count() / math.max(1L, nlist.toLong * 40L))
-    val sample = c0.filter(pmod(xxhash64(col("id")), lit(mod)) === 0)
-      .select(col("__v")).as[Array[Float]].collect()
-      .map(_.map(_.toDouble))
+    // deterministic sample for training: explicit hash-mod filter when the
+    // caller pins sampleMod, otherwise a single-scan bottom-k hash sample
+    val sample: Array[Array[Double]] =
+      (if (sampleMod >= 1)
+        c0.filter(pmod(xxhash64(col("id")), lit(sampleMod.toLong)) === 0)
+          .select(col("__v")).as[Array[Float]].collect()
+      else
+        // bottom-k by hash = one TakeOrdered scan; re-sorted by id on the
+        // driver so Lloyd's spread init sees a stable, meaningful order
+        c0.select(col("id"), col("__v"))
+          .orderBy(xxhash64(col("id")), col("id"))
+          .limit(nlist * 40)
+          .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+      ).map(_.map(_.toDouble))
     val centroids = trainCentroids(sample, math.min(nlist, math.max(1, sample.length)))
     val cb = spark.sparkContext.broadcast(centroids)
 

@@ -67,6 +67,12 @@ object KnnJoin {
       // (the old ring<=maxRing guard instead threw 'did not converge' on
       // an empty points side, or whenever res made n exceed maxRing)
       val wholeGrid = ring >= n || ring > maxRing
+      if (wholeGrid && ring < n)
+        // a small user-supplied maxRing degrades to a full scan of the
+        // points side per straggler — loud, mirroring kShortestPaths
+        System.err.println(s"knn: maxRing=$maxRing exhausted at ring=$ring " +
+          s"before convergence — brute-force sweep over ALL points for " +
+          s"$nPending remaining queries (raise maxRing to keep pruning)")
       // candidate cells of the disk: explode dx/dy, wrap x, clamp y —
       // mirror of CellGrid.disk as pure column arithmetic
       def diskPairs = pending

@@ -87,6 +87,18 @@ object EventStream {
 
   /** Gap-based sessionization (30-min inactivity closes a session).
     * Emits a session row when the gap timeout fires.
+    *
+    * LATE-EVENT MERGE TRADEOFF: the within-gap guard `t − s.lastTs ≤ gapMs`
+    * admits ANY event at or below the session's current extent, so a
+    * late-but-within-watermark event far OLDER than sessionStart − gap
+    * back-extends the open session instead of forming its own, separate,
+    * earlier session. Strict gap semantics would split there — but the
+    * older session would already have violated its own gap timeout, and
+    * splitting retroactively would require emitting a session for a window
+    * the state no longer covers. We deliberately merge: one session whose
+    * span covers both, which keeps durations non-negative, state bounded,
+    * and restarts deterministic. Events older than the 2-hour watermark are
+    * dropped by Spark before reaching this function either way.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

@@ -107,4 +107,23 @@ class CoreEdgeSpec extends AnyFunSuite {
     val g = GeoJson.fromJson("""{"type":"Feature","geometry":null,"properties":{"a":1}}""")
     assert(g.isInstanceOf[GMulti] && g.asInstanceOf[GMulti].geoms.isEmpty)
   }
+
+  test("polygon contains: hole with all vertices ON the contained boundary") {
+    // p2 = unit-10 square; p1 = larger square with a DIAMOND hole whose
+    // four vertices sit exactly on p2's boundary edges but whose edges dip
+    // through p2's interior — vertex sampling alone reports contains=true
+    def ring(pts: (Double, Double)*): GLine =
+      GLine(pts.flatMap(p => Seq(p._1, p._2)).toArray)
+    val p2 = GPolygon(Array(ring((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))))
+    val holed = GPolygon(Array(
+      ring((-5, -5), (15, -5), (15, 15), (-5, 15), (-5, -5)),
+      ring((5, 0), (0, 5), (5, 10), (10, 5), (5, 0)))) // CW hole
+    assert(!GeomOps.contains(holed, p2),
+      "diamond hole dips through p2's interior — containment must fail")
+    // control: same outer, hole fully outside p2 — contains holds
+    val awayHole = GPolygon(Array(
+      ring((-5, -5), (15, -5), (15, 15), (-5, 15), (-5, -5)),
+      ring((-4, -4), (-4, -1), (-1, -1), (-1, -4), (-4, -4))))
+    assert(GeomOps.contains(awayHole, p2))
+  }
 }

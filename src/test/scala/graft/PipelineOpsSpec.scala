@@ -125,6 +125,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.9, s"IVF recall too low on clustered data: $ivfRecall")
   }
 
+  test("ivf auto mode trains from ONE corpus scan (no count() pre-pass)") {
+    val dim = 8
+    val corpus = (0 until 400).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
+    }.toDF("id", "vec")
+    val queries = Seq((0L, Array.fill(dim)(1.0f))).toDF("qid", "qvec")
+    corpus.count(); queries.count() // settle any lazy planning beforehand
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // building the plan runs ONLY the codebook-sample job; result is lazy
+      Ann.ivfTopK(corpus, $"id", $"vec", queries, $"qid", $"qvec",
+        5, nlist = 4, nprobe = 2)
+      // listener events are async: poll until the count stabilizes
+      var last = -1; var cur = jobs.get(); var n = 0
+      while (cur != last && n < 40) { Thread.sleep(50); last = cur; cur = jobs.get(); n += 1 }
+      assert(cur === 1, s"ivfTopK auto mode ran $cur jobs — must be the single sample scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("multimodal: stub decode plumbing with corrupt-row isolation") {
     val media = Multimodal.synthMedia(spark, 50)
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
