@@ -680,6 +680,47 @@ object SparkEntry {
         }.toDF("x", "y", "v")
         .select(col("x"), col("y"), round(col("v"), 6).as("v_r"))
     }),
+    "q_warp_nodata" -> ((s, d) => {
+      import s.implicits._
+      // source-nodata masking (gdalwarper.cpp:364 GDALWarpNoDataMasker):
+      // src pixels equal to 5 are excluded from kernel populations/weights;
+      // dst -1 marks "nothing valid contributed"
+      val sw = 12; val sh = 10
+      val vals = Array.tabulate(sw * sh)(i => ((i % sw) * 31 + (i / sw) * 17) % 23 * 1.0)
+      def strips = (0 until sh by 3).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(3, sh - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * sw, (y0 + hh) * sw))
+      }.toDS()
+      val gt = graft.core.GeoTransform.northUp(0, 10, 1, 1)
+      // 1:1 nearest — masked pixels become dst nodata
+      val near = graft.raster.Warp.warp(s, strips, sw, sh, gt,
+          graft.raster.Warp.DstSpec(sw, sh, gt, stripHeight = 4),
+          kernel = graft.raster.Warp.Nearest, noData = -1.0, srcNoData = Some(5.0))
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until sw)
+            yield ("nearest", x, st.yOff + y, st.vals(y * sw + x)) }
+      // aligned 2× average — population excludes masked pixels
+      val avg = graft.raster.Warp.warp(s, strips, sw, sh, gt,
+          graft.raster.Warp.DstSpec(6, 5,
+            graft.core.GeoTransform.northUp(0, 10, 2, 2), stripHeight = 3),
+          kernel = graft.raster.Warp.Average, noData = -1.0, srcNoData = Some(5.0))
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until 6)
+            yield ("average", x, st.yOff + y, st.vals(y * 6 + x)) }
+      // half-pixel-shifted bilinear: every dst center is equidistant from 4
+      // src centers (all weights 0.25) → masked result = mean of the VALID
+      // neighbors (weight renormalization in closed form)
+      val bil = graft.raster.Warp.warp(s, strips, sw, sh, gt,
+          graft.raster.Warp.DstSpec(sw - 1, sh - 1,
+            graft.core.GeoTransform.northUp(0.5, 9.5, 1, 1), stripHeight = 4),
+          kernel = graft.raster.Warp.Bilinear, noData = -1.0, srcNoData = Some(5.0))
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until sw - 1)
+            yield ("bilinear", x, st.yOff + y, st.vals(y * (sw - 1) + x)) }
+      near.union(avg).union(bil).toDF("kernel", "x", "y", "v")
+        .select(col("kernel"), col("x"), col("y"), round(col("v"), 6).as("v_r"))
+    }),
     "q_histogram" -> ((s, d) => {
       // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
       // equal-width buckets over [min, max]; here 8 buckets over lineitem
@@ -1463,6 +1504,37 @@ object SparkEntry {
         |    CAST(((2*x) * 31 + (2*y+1) * 17) % 23 AS DOUBLE) +
         |    CAST(((2*x+1) * 31 + (2*y+1) * 17) % 23 AS DOUBLE)) / 4, 6) AS v_r
         |FROM d""".stripMargin,
+    "q_warp_nodata" ->
+      // masked warp: src v = (x*31+y*17)%23, srcNoData = 5; nearest 1:1,
+      // aligned 2× average over valid pixels, half-shift bilinear = mean of
+      // the valid 4-neighborhood (uniform 0.25 weights renormalized)
+      """WITH src AS (
+        |  SELECT xx.x, yy.y, CAST((xx.x*31 + yy.y*17) % 23 AS DOUBLE) AS v
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS x) xx,
+        |       (SELECT unnest(generate_series(0, 9)) AS y) yy),
+        |near AS (
+        |  SELECT 'nearest' AS kernel, x, y,
+        |         CASE WHEN v = 5 THEN -1.0 ELSE v END AS v FROM src),
+        |avg_dst AS (
+        |  SELECT xx.x, yy.y FROM (SELECT unnest(generate_series(0, 5)) AS x) xx,
+        |                          (SELECT unnest(generate_series(0, 4)) AS y) yy),
+        |avgk AS (
+        |  SELECT 'average' AS kernel, d.x, d.y,
+        |         COALESCE(avg(s.v) FILTER (WHERE s.v <> 5), -1.0) AS v
+        |  FROM avg_dst d JOIN src s ON s.x // 2 = d.x AND s.y // 2 = d.y
+        |  GROUP BY d.x, d.y),
+        |bil_dst AS (
+        |  SELECT xx.x, yy.y FROM (SELECT unnest(generate_series(0, 10)) AS x) xx,
+        |                          (SELECT unnest(generate_series(0, 8)) AS y) yy),
+        |bilk AS (
+        |  SELECT 'bilinear' AS kernel, d.x, d.y,
+        |         COALESCE(avg(s.v) FILTER (WHERE s.v <> 5), -1.0) AS v
+        |  FROM bil_dst d JOIN src s ON s.x BETWEEN d.x AND d.x + 1
+        |                           AND s.y BETWEEN d.y AND d.y + 1
+        |  GROUP BY d.x, d.y)
+        |SELECT kernel, x, y, round(v, 6) AS v_r
+        |FROM (SELECT * FROM near UNION ALL SELECT * FROM avgk
+        |      UNION ALL SELECT * FROM bilk)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -149,14 +149,15 @@ object Warp {
   @inline private def samplePixel(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
                                   c: Int, gy: Int, dstGt: GeoTransform, tx: GeoTx,
                                   srcInv: GeoTransform, kernel: Kernel,
-                                  noData: Double, xScale: Double, yScale: Double): Double = kernel match {
+                                  noData: Double, xScale: Double, yScale: Double,
+                                  srcNd: Double = 0.0, hasSrcNd: Boolean = false): Double = kernel match {
     case rk: RectKernel =>
       val (px1, py1) = srcCornerOf(c, gy, dstGt, tx, srcInv)
       val (px2, py2) = srcCornerOf(c + 1.0, gy + 1.0, dstGt, tx, srcInv)
-      sampleRect(rows, srcW, srcH, px1, py1, px2, py2, rk, noData)
+      sampleRect(rows, srcW, srcH, px1, py1, px2, py2, rk, noData, srcNd, hasSrcNd)
     case _ =>
       val (px, py) = srcPixelOf(c, gy, dstGt, tx, srcInv)
-      sample(rows, srcW, srcH, px, py, kernel, noData, xScale, yScale)
+      sample(rows, srcW, srcH, px, py, kernel, noData, xScale, yScale, srcNd, hasSrcNd)
   }
 
   /** CubicConvolution (`gdalwarpkernel.cpp:2252`). */
@@ -188,15 +189,25 @@ object Warp {
       math.sin(pix) * math.sin(pixOverR) / pix2OverR
     }
 
+  /** `srcNd`/`hasSrcNd`: source-nodata masking (GDALWarpNoDataMasker,
+    * `gdal/alg/gdalwarper.cpp:364`) — source pixels EQUAL to the nodata
+    * value are excluded from kernel populations and weight sums rather
+    * than contributing their numeric value. The unmasked path is
+    * byte-identical to before (`hasSrcNd = false` short-circuits).
+    */
   @inline private def sample(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
                              px: Double, py: Double, kernel: Kernel,
                              noData: Double, xScale: Double = 1.0,
-                             yScale: Double = 1.0): Double = kernel match {
+                             yScale: Double = 1.0, srcNd: Double = 0.0,
+                             hasSrcNd: Boolean = false): Double = kernel match {
     case Nearest =>
       val ix = math.floor(px).toInt
       val iy = math.floor(py).toInt
       if (ix < 0 || ix >= srcW || iy < 0 || iy >= srcH) noData
-      else rows.get(iy).map(_(ix)).getOrElse(noData)
+      else {
+        val v = rows.get(iy).map(_(ix)).getOrElse(noData)
+        if (hasSrcNd && v == srcNd) noData else v
+      }
     case Bilinear =>
       // sample at pixel centers: fractional position between centers
       val fx = px - 0.5
@@ -205,22 +216,52 @@ object Warp {
       val y0 = math.floor(fy).toInt
       val wx = fx - x0
       val wy = fy - y0
-      @inline def at(x: Int, y: Int): Double = {
-        val cx = math.min(math.max(x, 0), srcW - 1)
-        val cy = math.min(math.max(y, 0), srcH - 1)
-        rows.get(cy).map(_(cx)).getOrElse(noData)
-      }
       if (fx < -1 || fx > srcW || fy < -1 || fy > srcH) noData
-      else {
+      else if (!hasSrcNd) {
+        @inline def at(x: Int, y: Int): Double = {
+          val cx = math.min(math.max(x, 0), srcW - 1)
+          val cy = math.min(math.max(y, 0), srcH - 1)
+          rows.get(cy).map(_(cx)).getOrElse(noData)
+        }
         val v00 = at(x0, y0); val v10 = at(x0 + 1, y0)
         val v01 = at(x0, y0 + 1); val v11 = at(x0 + 1, y0 + 1)
         (v00 * (1 - wx) + v10 * wx) * (1 - wy) + (v01 * (1 - wx) + v11 * wx) * wy
+      } else {
+        // masked: accumulate valid samples only, renormalize by their
+        // weight (GWKBilinearResample4Sample with a source validity mask)
+        var acc = 0.0; var accW = 0.0
+        @inline def add(x: Int, y: Int, w: Double): Unit =
+          if (w > 0 && x >= 0 && x < srcW && y >= 0 && y < srcH) {
+            val r = rows.getOrElse(y, null)
+            if (r != null) {
+              val v = r(x)
+              if (v != srcNd) { acc += w * v; accW += w }
+            }
+          }
+        add(x0, y0, (1 - wx) * (1 - wy)); add(x0 + 1, y0, wx * (1 - wy))
+        add(x0, y0 + 1, (1 - wx) * wy); add(x0 + 1, y0 + 1, wx * wy)
+        if (accW > 0.00001) acc / accW else noData
       }
     case Cubic =>
       val iSrcX = math.floor(px - 0.5).toInt
       val iSrcY = math.floor(py - 0.5).toInt
       if (iSrcX - 1 < 0 || iSrcX + 2 >= srcW || iSrcY - 1 < 0 || iSrcY + 2 >= srcH)
-        sample(rows, srcW, srcH, px, py, Bilinear, noData) // reference border fallback
+        sample(rows, srcW, srcH, px, py, Bilinear, noData, 1.0, 1.0, srcNd, hasSrcNd) // reference border fallback
+      else if (hasSrcNd && {
+        // GWKCubicResample4Sample: ANY invalid pixel in the 4×4 footprint
+        // falls the whole sample back to masked bilinear
+        var bad = false; var j = -1
+        while (!bad && j <= 2) {
+          val r = rows.getOrElse(iSrcY + j, null)
+          if (r == null) bad = true
+          else {
+            var i = -1
+            while (!bad && i <= 2) { if (r(iSrcX + i) == srcNd) bad = true; i += 1 }
+          }
+          j += 1
+        }
+        bad
+      }) sample(rows, srcW, srcH, px, py, Bilinear, noData, 1.0, 1.0, srcNd, hasSrcNd)
       else {
         val dx = px - 0.5 - iSrcX; val dy = py - 0.5 - iSrcY
         val dx2 = dx * dx; val dx3 = dx2 * dx
@@ -232,8 +273,8 @@ object Warp {
         }
         cubicConv(dy, dy2, dy3, rowConv(-1), rowConv(0), rowConv(1), rowConv(2))
       }
-    case CubicSpline => generalResample(rows, srcW, srcH, px, py, 2, bsplineW, noData, xScale, yScale)
-    case Lanczos     => generalResample(rows, srcW, srcH, px, py, 3, lanczosW, noData, xScale, yScale)
+    case CubicSpline => generalResample(rows, srcW, srcH, px, py, 2, bsplineW, noData, xScale, yScale, srcNd, hasSrcNd)
+    case Lanczos     => generalResample(rows, srcW, srcH, px, py, 3, lanczosW, noData, xScale, yScale, srcNd, hasSrcNd)
     case _: RectKernel =>
       throw new IllegalStateException("rect kernels sample via sampleRect")
   }
@@ -246,11 +287,12 @@ object Warp {
   private[raster] def generalResample(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
                                       px: Double, py: Double, radius: Int,
                                       weight: Double => Double, noData: Double,
-                                      xScale: Double, yScale: Double): Double = {
+                                      xScale: Double, yScale: Double,
+                                      srcNd: Double = 0.0, hasSrcNd: Boolean = false): Double = {
     val iSrcX = math.floor(px - 0.5).toInt
     val iSrcY = math.floor(py - 0.5).toInt
     if (iSrcX >= srcW || iSrcY >= srcH || px < 0 || py < 0)
-      return sample(rows, srcW, srcH, px, py, Bilinear, noData)
+      return sample(rows, srcW, srcH, px, py, Bilinear, noData, 1.0, 1.0, srcNd, hasSrcNd)
     val dX = px - 0.5 - iSrcX
     val dY = py - 0.5 - iSrcY
     val xRadius = if (xScale < 1.0) math.ceil(radius / xScale).toInt else radius
@@ -272,25 +314,52 @@ object Warp {
     if (iSrcY + jMin < 0) jMin = -iSrcY
     var jMax = yRadius
     if (iSrcY + jMax >= srcH - 1) jMax = srcH - 1 - iSrcY
-    var acc = 0.0
-    var sumV = 0.0
-    var j = jMin
-    while (j <= jMax) {
-      val r = rows.getOrElse(iSrcY + j, null)
-      if (r == null) return noData
-      var local = 0.0
-      i = iMin
-      while (i <= iMax) {
-        local += r(iSrcX + i) * w(i - iMin)
-        i += 1
+    if (!hasSrcNd) {
+      var acc = 0.0
+      var sumV = 0.0
+      var j = jMin
+      while (j <= jMax) {
+        val r = rows.getOrElse(iSrcY + j, null)
+        if (r == null) return noData
+        var local = 0.0
+        i = iMin
+        while (i <= iMax) {
+          local += r(iSrcX + i) * w(i - iMin)
+          i += 1
+        }
+        val wj = weight((j - dY) * yScale)
+        acc += wj * local
+        sumV += wj
+        j += 1
       }
-      val wj = weight((j - dY) * yScale)
-      acc += wj * local
-      sumV += wj
-      j += 1
+      val denom = sumH * sumV
+      if (denom == 0.0) noData else acc / denom
+    } else {
+      // masked GWKResample (`gdalwarpkernel.cpp:3012`): invalid pixels drop
+      // out of both the accumulator and the weight sum; result normalizes
+      // by the VALID weight only, nodata when nothing valid contributed
+      var acc = 0.0
+      var accW = 0.0
+      var j = jMin
+      while (j <= jMax) {
+        val r = rows.getOrElse(iSrcY + j, null)
+        if (r != null) {
+          val wj = weight((j - dY) * yScale)
+          i = iMin
+          while (i <= iMax) {
+            val v = r(iSrcX + i)
+            if (v != srcNd) {
+              val wij = wj * w(i - iMin)
+              acc += wij * v
+              accW += wij
+            }
+            i += 1
+          }
+        }
+        j += 1
+      }
+      if (math.abs(accW) < 0.000001) noData else acc / accW
     }
-    val denom = sumH * sumV
-    if (denom == 0.0) noData else acc / denom
   }
 
   /** Source-footprint aggregate of one dst pixel
@@ -300,7 +369,8 @@ object Warp {
     */
   private def sampleRect(rows: Map[Int, Array[Double]], srcW: Int, srcH: Int,
                          x1: Double, y1: Double, x2: Double, y2: Double,
-                         kernel: RectKernel, noData: Double): Double = {
+                         kernel: RectKernel, noData: Double,
+                         srcNd: Double = 0.0, hasSrcNd: Boolean = false): Double = {
     var xMin = math.max(math.floor(x1 + 1e-10).toInt, 0)
     var xMax = math.min(math.ceil(x2 - 1e-10).toInt, srcW)
     var yMin = math.max(math.floor(y1 + 1e-10).toInt, 0)
@@ -324,7 +394,10 @@ object Warp {
           val r = rows.getOrElse(y, null)
           if (r != null) {
             var x = xMin
-            while (x < xMax) { total += r(x); n += 1; x += 1 }
+            while (x < xMax) {
+              if (!hasSrcNd || r(x) != srcNd) { total += r(x); n += 1 }
+              x += 1
+            }
           }
           y += 1
         }
@@ -336,7 +409,10 @@ object Warp {
           val r = rows.getOrElse(y, null)
           if (r != null) {
             var x = xMin
-            while (x < xMax) { if (r(x) > best) best = r(x); n += 1; x += 1 }
+            while (x < xMax) {
+              if (!hasSrcNd || r(x) != srcNd) { if (r(x) > best) best = r(x); n += 1 }
+              x += 1
+            }
           }
           y += 1
         }
@@ -348,7 +424,10 @@ object Warp {
           val r = rows.getOrElse(y, null)
           if (r != null) {
             var x = xMin
-            while (x < xMax) { if (r(x) < best) best = r(x); n += 1; x += 1 }
+            while (x < xMax) {
+              if (!hasSrcNd || r(x) != srcNd) { if (r(x) < best) best = r(x); n += 1 }
+              x += 1
+            }
           }
           y += 1
         }
@@ -365,6 +444,8 @@ object Warp {
             var x = xMin
             while (x < xMax) {
               val v = r(x)
+              if (hasSrcNd && v == srcNd) { x += 1 }
+              else {
               var i = 0
               var found = false
               while (i < vals.length && !found) {
@@ -380,6 +461,7 @@ object Warp {
                 if (maxIdx < 0) maxIdx = vals.length - 1
               }
               x += 1
+              }
             }
           }
           y += 1
@@ -392,7 +474,10 @@ object Warp {
           val r = rows.getOrElse(y, null)
           if (r != null) {
             var x = xMin
-            while (x < xMax) { buf += r(x); x += 1 }
+            while (x < xMax) {
+              if (!hasSrcNd || r(x) != srcNd) buf += r(x)
+              x += 1
+            }
           }
           y += 1
         }
@@ -418,7 +503,8 @@ object Warp {
   def warp(spark: SparkSession, src: Dataset[DStrip], srcW: Int, srcH: Int,
            srcGt: GeoTransform, dst: DstSpec, tx: GeoTx = identityTx,
            kernel: Kernel = Nearest, noData: Double = 0.0,
-           approxTol: Double = 0.0): Dataset[DStrip] = {
+           approxTol: Double = 0.0,
+           srcNoData: Option[Double] = None): Dataset[DStrip] = {
     import spark.implicits._
     val srcInv = srcGt.inverse.getOrElse(sys.error("non-invertible src geotransform"))
     val nDst = (dst.height + dst.stripHeight - 1) / dst.stripHeight
@@ -477,6 +563,7 @@ object Warp {
     val dstGt = dst.gt; val k = kernel; val nd = noData
     val (xs, ys) = filterScales(dst, tx, srcInv)
     val aTol = approxTol
+    val snd = srcNoData.getOrElse(0.0); val hasSnd = srcNoData.isDefined
     rows.union(sentinels).groupByKey(_._1).mapGroups { (st, it) =>
       val srcRows: Map[Int, Array[Double]] = it.filter(_._2 >= 0).map(t => t._2 -> t._3).toMap
       val y0 = st * stripH
@@ -489,13 +576,13 @@ object Warp {
           val (axs, ays) = approxRow(dstW, y0 + r, dstGt, tx, srcInv, aTol)
           var c = 0
           while (c < dstW) {
-            out(r * dstW + c) = sample(srcRows, srcW, srcH, axs(c), ays(c), k, nd, xs, ys)
+            out(r * dstW + c) = sample(srcRows, srcW, srcH, axs(c), ays(c), k, nd, xs, ys, snd, hasSnd)
             c += 1
           }
         } else {
           var c = 0
           while (c < dstW) {
-            out(r * dstW + c) = samplePixel(srcRows, srcW, srcH, c, y0 + r, dstGt, tx, srcInv, k, nd, xs, ys)
+            out(r * dstW + c) = samplePixel(srcRows, srcW, srcH, c, y0 + r, dstGt, tx, srcInv, k, nd, xs, ys, snd, hasSnd)
             c += 1
           }
         }
@@ -523,14 +610,16 @@ object Warp {
   /** Single-node reference for tests. */
   def warpLocal(vals: Array[Double], srcW: Int, srcH: Int, srcGt: GeoTransform,
                 dst: DstSpec, tx: GeoTx = identityTx, kernel: Kernel = Nearest,
-                noData: Double = 0.0): Array[Double] = {
+                noData: Double = 0.0,
+                srcNoData: Option[Double] = None): Array[Double] = {
     val srcInv = srcGt.inverse.get
     val rows: Map[Int, Array[Double]] = (0 until srcH).map(y =>
       y -> java.util.Arrays.copyOfRange(vals, y * srcW, (y + 1) * srcW)).toMap
     val out = new Array[Double](dst.width * dst.height)
     val (xs, ys) = filterScales(dst, tx, srcInv)
+    val snd = srcNoData.getOrElse(0.0); val hasSnd = srcNoData.isDefined
     for (y <- 0 until dst.height; x <- 0 until dst.width)
-      out(y * dst.width + x) = samplePixel(rows, srcW, srcH, x, y, dst.gt, tx, srcInv, kernel, noData, xs, ys)
+      out(y * dst.width + x) = samplePixel(rows, srcW, srcH, x, y, dst.gt, tx, srcInv, kernel, noData, xs, ys, snd, hasSnd)
     out
   }
 }

@@ -106,6 +106,50 @@ class WarpSpec extends AnyFunSuite {
     }
   }
 
+  test("srcNoData masking: holes drop out of every kernel") {
+    // constant field with scattered holes: every masked kernel must return
+    // the constant wherever ANY valid pixel contributes (weight
+    // renormalization), and never let the hole value bleed in
+    val hole = -9999.0
+    val holed = Array.tabulate(W * H) { i =>
+      if ((graft.sources.Pages.mix(i * 7 + 1) & 7) == 0) hole else 7.25
+    }
+    val hStrips = (0 until H by 5).zipWithIndex.map { case (y0, i) =>
+      DStrip(i, y0, math.min(5, H - y0),
+        java.util.Arrays.copyOfRange(holed, y0 * W, (y0 + math.min(5, H - y0)) * W))
+    }.toDS()
+    val dstGt = GeoTransform.northUp(10.1, 49.9, 0.43, 0.43)
+    val dst = Warp.DstSpec(18, 14, dstGt, stripHeight = 5)
+    for (k <- allKernels) {
+      val got = Warp.warp(spark, hStrips, W, H, srcGt, dst, kernel = k,
+          noData = -1.0, srcNoData = Some(hole))
+        .collect().sortBy(_.yOff).flatMap(_.vals)
+      assert(got.forall(v => v == -1.0 || math.abs(v - 7.25) < 1e-9),
+        s"kernel $k leaked the hole value: ${got.filterNot(v => v == -1.0 || math.abs(v - 7.25) < 1e-9).take(3).toSeq}")
+      assert(got.exists(v => math.abs(v - 7.25) < 1e-9), s"kernel $k produced nothing")
+      // distributed equals local with the mask on
+      val expect = Warp.warpLocal(holed, W, H, srcGt, dst, kernel = k,
+        noData = -1.0, srcNoData = Some(hole))
+      assert(got.toSeq === expect.toSeq, s"kernel $k masked dist vs local")
+    }
+    // hole-free grid: masked and unmasked paths agree for every kernel on
+    // an interior window (at the border, unmasked bilinear CLAMPS to edge
+    // pixels while the masked path renormalizes — a legitimate divergence)
+    val dstIn = Warp.DstSpec(16, 12, GeoTransform.northUp(11, 48.9, 0.4, 0.4), stripHeight = 5)
+    for (k <- allKernels) {
+      val masked = Warp.warpLocal(vals, W, H, srcGt, dstIn, kernel = k,
+        noData = -1.0, srcNoData = Some(hole))
+      val plain = Warp.warpLocal(vals, W, H, srcGt, dstIn, kernel = k, noData = -1.0)
+      assert(masked.zip(plain).forall { case (a, b) => a == b || math.abs(a - b) < 1e-9 },
+        s"kernel $k masked≠plain on hole-free input")
+    }
+    // all-hole source: everything is dst nodata
+    val allHole = Array.fill(W * H)(hole)
+    val gotAll = Warp.warpLocal(allHole, W, H, srcGt, dst, kernel = Warp.Bilinear,
+      noData = -1.0, srcNoData = Some(hole))
+    assert(gotAll.forall(_ == -1.0))
+  }
+
   test("reprojection warp 4326->3857 equals local reference") {
     // src in lon/lat; dst in WebMercator covering the same area
     val xm0 = graft.expr.GeoRt.lonToMercX(10)
