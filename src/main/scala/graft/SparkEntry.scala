@@ -721,6 +721,50 @@ object SparkEntry {
       near.union(avg).union(bil).toDF("kernel", "x", "y", "v")
         .select(col("kernel"), col("x"), col("y"), round(col("v"), 6).as("v_r"))
     }),
+    "q_warp_gcp" -> ((s, d) => {
+      import s.implicits._
+      // GCP georeferencing (gdal_crs.c / gdal_tps.cpp): GCPs are generated
+      // from exactly-polynomial geo→pixel maps, so the independently-fitted
+      // inverse polynomials (and the TPS on affine data, whose bending
+      // weights solve to 0) reproduce the map in closed form — the oracle
+      // recomputes the same maps in SQL. Source has NO geotransform: the
+      // GCP transform replaces it (srcGt = identity).
+      val sw = 12; val sh = 10
+      val vals = Array.tabulate(sw * sh)(i => ((i % sw) * 31 + (i / sw) * 17) % 23 * 1.0)
+      def strips = (0 until sh by 3).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(3, sh - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * sw, (y0 + hh) * sw))
+      }.toDS()
+      val idGt = graft.core.GeoTransform(0, 1, 0, 0, 0, 1)
+      val dstSpec = graft.raster.Warp.DstSpec(9, 8,
+        graft.core.GeoTransform.northUp(0, 8, 1, 1), stripHeight = 3)
+      val aff: (Double, Double) => (Double, Double) = (gx, gy) =>
+        (0.38 + 1.29 * gx + 0.11 * gy, 0.166 + 1.13 * gy + 0.051 * gx)
+      val quad: (Double, Double) => (Double, Double) = (gx, gy) =>
+        (0.31 + 1.19 * gx + 0.031 * gy + 0.021 * gx * gx,
+         0.13 + 1.17 * gy + 0.023 * gx + 0.017 * gy * gy)
+      val cub: (Double, Double) => (Double, Double) = (gx, gy) =>
+        (0.221 + 1.11 * gx + 0.041 * gy + 0.016 * gx * gx + 0.0031 * gx * gx * gx,
+         0.279 + 1.07 * gy + 0.029 * gx + 0.011 * gy * gy + 0.0023 * gy * gy * gy)
+      def gcpsOf(f: (Double, Double) => (Double, Double)) =
+        for (gx <- 0 to 8 by 2; gy <- 0 to 6 by 2) yield {
+          val (px, py) = f(gx.toDouble, gy.toDouble)
+          graft.raster.GcpTransform.Gcp(px, py, gx.toDouble, gy.toDouble)
+        }
+      val cases = Seq(
+        ("poly1", graft.raster.GcpTransform.polyTx(gcpsOf(aff), 1)),
+        ("poly2", graft.raster.GcpTransform.polyTx(gcpsOf(quad), 2)),
+        ("poly3", graft.raster.GcpTransform.polyTx(gcpsOf(cub), 3)),
+        ("tps", graft.raster.GcpTransform.tpsTx(gcpsOf(aff))))
+      cases.map { case (name, tx) =>
+        graft.raster.Warp.warp(s, strips, sw, sh, idGt, dstSpec, tx = tx,
+            kernel = graft.raster.Warp.Nearest, noData = -1.0)
+          .flatMap { st =>
+            for (y <- 0 until st.height; x <- 0 until 9)
+              yield (name, x, st.yOff + y, st.vals(y * 9 + x)) }
+      }.reduce(_ union _).toDF("test_case", "x", "y", "v")
+    }),
     "q_histogram" -> ((s, d) => {
       // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
       // equal-width buckets over [min, max]; here 8 buckets over lineitem
@@ -1504,6 +1548,35 @@ object SparkEntry {
         |    CAST(((2*x) * 31 + (2*y+1) * 17) % 23 AS DOUBLE) +
         |    CAST(((2*x+1) * 31 + (2*y+1) * 17) % 23 AS DOUBLE)) / 4, 6) AS v_r
         |FROM d""".stripMargin,
+    "q_warp_gcp" ->
+      // dst (9×8, northUp(0,8,1,1)) centers (gx,gy)=(x+0.5, 7.5−y) pushed
+      // through the same geo→pixel maps the GCPs were generated from;
+      // nearest = floor, outside 12×10 → −1
+      """WITH d AS (
+        |  SELECT xx.x, yy.y, xx.x + 0.5 AS gx, 7.5 - yy.y AS gy
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS x) xx,
+        |       (SELECT unnest(generate_series(0, 7)) AS y) yy),
+        |m AS (
+        |  SELECT 'poly1' AS test_case, x, y,
+        |         0.38 + 1.29*gx + 0.11*gy AS px,
+        |         0.166 + 1.13*gy + 0.051*gx AS py FROM d
+        |  UNION ALL
+        |  SELECT 'tps', x, y,
+        |         0.38 + 1.29*gx + 0.11*gy,
+        |         0.166 + 1.13*gy + 0.051*gx FROM d
+        |  UNION ALL
+        |  SELECT 'poly2', x, y,
+        |         0.31 + 1.19*gx + 0.031*gy + 0.021*gx*gx,
+        |         0.13 + 1.17*gy + 0.023*gx + 0.017*gy*gy FROM d
+        |  UNION ALL
+        |  SELECT 'poly3', x, y,
+        |         0.221 + 1.11*gx + 0.041*gy + 0.016*gx*gx + 0.0031*gx*gx*gx,
+        |         0.279 + 1.07*gy + 0.029*gx + 0.011*gy*gy + 0.0023*gy*gy*gy FROM d)
+        |SELECT test_case, x, y,
+        |  CASE WHEN floor(px) BETWEEN 0 AND 11 AND floor(py) BETWEEN 0 AND 9
+        |       THEN CAST((CAST(floor(px) AS INT)*31 + CAST(floor(py) AS INT)*17) % 23 AS DOUBLE)
+        |       ELSE -1.0 END AS v
+        |FROM m""".stripMargin,
     "q_warp_nodata" ->
       // masked warp: src v = (x*31+y*17)%23, srcNoData = 5; nearest 1:1,
       // aligned 2× average over valid pixels, half-shift bilinear = mean of
