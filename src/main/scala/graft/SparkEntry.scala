@@ -765,6 +765,46 @@ object SparkEntry {
               yield (name, x, st.yOff + y, st.vals(y * 9 + x)) }
       }.reduce(_ union _).toDF("test_case", "x", "y", "v")
     }),
+    "q_warp_cutline" -> ((s, d) => {
+      import s.implicits._
+      // gdalwarp -cutline/-crop_to_cutline/-cblend: hard diamond mask,
+      // feathered rectangle (blend 1.5 px against the nodata fill), and a
+      // cutline-cropped dst grid — all center-rule closed forms in SQL
+      val sw = 12; val sh = 10
+      val vals = Array.tabulate(sw * sh)(i => ((i % sw) * 31 + (i / sw) * 17) % 23 * 1.0)
+      def strips = (0 until sh by 3).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(3, sh - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * sw, (y0 + hh) * sw))
+      }.toDS()
+      val gt = graft.core.GeoTransform.northUp(0, 10, 1, 1)
+      def ringPoly(pts: (Double, Double)*): graft.core.GPolygon =
+        graft.core.GPolygon(Array(graft.core.GLine(
+          (pts :+ pts.head).flatMap(p => Seq(p._1, p._2)).toArray)))
+      val diamond = ringPoly((6.2 - 3.77, 5.1), (6.2, 5.1 + 3.77),
+        (6.2 + 3.77, 5.1), (6.2, 5.1 - 3.77))
+      val rect = ringPoly((2.3, 1.7), (9.4, 1.7), (9.4, 8.2), (2.3, 8.2))
+      val idDst = graft.raster.Warp.DstSpec(sw, sh, gt, stripHeight = 4)
+      def idWarp(dst: graft.raster.Warp.DstSpec) =
+        graft.raster.Warp.warp(s, strips, sw, sh, gt, dst,
+          kernel = graft.raster.Warp.Nearest, noData = -1.0)
+      val hard = graft.raster.Cutline(idWarp(idDst), idDst, diamond, noData = -1.0)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until sw)
+            yield ("hard", x, st.yOff + y, st.vals(y * sw + x)) }
+      val blend = graft.raster.Cutline(idWarp(idDst), idDst, rect,
+          noData = -1.0, blendPx = 1.5)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until sw)
+            yield ("blend", x, st.yOff + y, st.vals(y * sw + x)) }
+      val cropDst = graft.raster.Cutline.cropToCutline(rect, 1, 1, stripHeight = 3)
+      val crop = graft.raster.Cutline(idWarp(cropDst), cropDst, rect, noData = -1.0)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until cropDst.width)
+            yield ("crop", x, st.yOff + y, st.vals(y * cropDst.width + x)) }
+      hard.union(blend).union(crop).toDF("test_case", "x", "y", "v")
+        .select(col("test_case"), col("x"), col("y"), round(col("v"), 6).as("v_r"))
+    }),
     "q_histogram" -> ((s, d) => {
       // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
       // equal-width buckets over [min, max]; here 8 buckets over lineitem
@@ -1548,6 +1588,54 @@ object SparkEntry {
         |    CAST(((2*x) * 31 + (2*y+1) * 17) % 23 AS DOUBLE) +
         |    CAST(((2*x+1) * 31 + (2*y+1) * 17) % 23 AS DOUBLE)) / 4, 6) AS v_r
         |FROM d""".stripMargin,
+    "q_warp_cutline" ->
+      // identity warp of the (x*31+y*17)%23 grid, then: hard diamond
+      // center-rule mask; rect feather (density 0.5±dist/3 over ±1.5 px,
+      // blended against the −1 fill); crop grid snapped outward to res 1
+      """WITH d AS (
+        |  SELECT xx.x, yy.y, xx.x + 0.5 AS gx, 9.5 - yy.y AS gy,
+        |         CAST((xx.x*31 + yy.y*17) % 23 AS DOUBLE) AS v0
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS x) xx,
+        |       (SELECT unnest(generate_series(0, 9)) AS y) yy),
+        |hard AS (
+        |  SELECT 'hard' AS test_case, x, y,
+        |         CASE WHEN abs(gx - 6.2) + abs(gy - 5.1) <= 3.77
+        |              THEN v0 ELSE -1.0 END AS v FROM d),
+        |blendd AS (
+        |  SELECT x, y, v0, gx, gy,
+        |         greatest(2.3 - gx, gx - 9.4, 0.0) AS dxo,
+        |         greatest(1.7 - gy, gy - 8.2, 0.0) AS dyo FROM d),
+        |blend2 AS (
+        |  SELECT x, y, v0,
+        |         (dxo = 0 AND dyo = 0) AS inside,
+        |         CASE WHEN dxo = 0 AND dyo = 0
+        |              THEN least(gx - 2.3, 9.4 - gx, gy - 1.7, 8.2 - gy)
+        |              ELSE sqrt(dxo*dxo + dyo*dyo) END AS dist
+        |  FROM blendd),
+        |blend3 AS (
+        |  SELECT x, y, v0,
+        |         CASE WHEN inside THEN least(1.0, 0.5 + dist / 3.0)
+        |              ELSE greatest(0.0, 0.5 - dist / 3.0) END AS dens
+        |  FROM blend2),
+        |blend AS (
+        |  SELECT 'blend' AS test_case, x, y,
+        |         CASE WHEN dens <= 0 THEN -1.0
+        |              WHEN dens >= 1 THEN v0
+        |              ELSE v0 * dens + (-1.0) * (1 - dens) END AS v
+        |  FROM blend3),
+        |cropd AS (
+        |  SELECT xx.x, yy.y, 2.5 + xx.x AS gx, 8.5 - yy.y AS gy
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS x) xx,
+        |       (SELECT unnest(generate_series(0, 7)) AS y) yy),
+        |crop AS (
+        |  SELECT 'crop' AS test_case, x, y,
+        |         CASE WHEN gx > 2.3 AND gx < 9.4 AND gy > 1.7 AND gy < 8.2
+        |              THEN CAST(((2 + x)*31 + (1 + y)*17) % 23 AS DOUBLE)
+        |              ELSE -1.0 END AS v
+        |  FROM cropd)
+        |SELECT test_case, x, y, round(v, 6) AS v_r
+        |FROM (SELECT * FROM hard UNION ALL SELECT * FROM blend
+        |      UNION ALL SELECT * FROM crop)""".stripMargin,
     "q_warp_gcp" ->
       // dst (9×8, northUp(0,8,1,1)) centers (gx,gy)=(x+0.5, 7.5−y) pushed
       // through the same geo→pixel maps the GCPs were generated from;
