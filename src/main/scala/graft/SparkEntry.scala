@@ -805,6 +805,34 @@ object SparkEntry {
       hard.union(blend).union(crop).toDF("test_case", "x", "y", "v")
         .select(col("test_case"), col("x"), col("y"), round(col("v"), 6).as("v_r"))
     }),
+    "q_nearblack" -> ((s, d) => {
+      import s.implicits._
+      // nearblack collar removal (apps/nearblack_lib.cpp): dark collar with
+      // speckle runs, bright core, interior dark holes that must survive.
+      // Oracle pinned from tools/gen_nearblack_oracle.py (independent
+      // Python port of the reference ProcessLine).
+      val w = 24; val h = 16
+      val speckles = Set((1, 1), (2, 1), (22, 14), (1, 8), (2, 8), (3, 8))
+      val holes = Set((10, 8), (11, 8))
+      def srcV(x: Int, y: Int): Int = {
+        var base = if (x >= 4 && x < 20 && y >= 3 && y < 13) 60 + ((x * 7 + y * 11) % 40)
+                   else (x * 5 + y * 3) % 12
+        if (speckles((x, y))) base = 200
+        if (holes((x, y))) base = 3
+        base
+      }
+      val strips = (0 until h by 5).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(5, h - y0)
+        graft.raster.NearBlack.NBStrip(idx, y0, hh,
+          Array(Array.tabulate(hh * w)(i => srcV(i % w, y0 + i / w))))
+      }.toDS()
+      graft.raster.NearBlack(s, strips, w, h,
+          graft.raster.NearBlack.Opts(nearDist = 15, maxNonBlack = 2))
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until w)
+            yield (x, st.yOff + y, st.bands(0)(y * w + x))
+        }.toDF("x", "y", "v")
+    }),
     "q_histogram" -> ((s, d) => {
       // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
       // equal-width buckets over [min, max]; here 8 buckets over lineitem
@@ -1588,6 +1616,57 @@ object SparkEntry {
         |    CAST(((2*x) * 31 + (2*y+1) * 17) % 23 AS DOUBLE) +
         |    CAST(((2*x+1) * 31 + (2*y+1) * 17) % 23 AS DOUBLE)) / 4, 6) AS v_r
         |FROM d""".stripMargin,
+    "q_nearblack" ->
+      // pinned from tools/gen_nearblack_oracle.py (independent Python port)
+      """SELECT * FROM (VALUES
+        |(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 0), (4, 0, 0), (5, 0, 0), (6, 0, 0), (7, 0, 0),
+        |(8, 0, 0), (9, 0, 0), (10, 0, 0), (11, 0, 0), (12, 0, 0), (13, 0, 0), (14, 0, 0), (15, 0, 0),
+        |(16, 0, 0), (17, 0, 0), (18, 0, 0), (19, 0, 0), (20, 0, 0), (21, 0, 0), (22, 0, 0), (23, 0, 0),
+        |(0, 1, 0), (1, 1, 0), (2, 1, 0), (3, 1, 0), (4, 1, 0), (5, 1, 0), (6, 1, 0), (7, 1, 0),
+        |(8, 1, 0), (9, 1, 0), (10, 1, 0), (11, 1, 0), (12, 1, 0), (13, 1, 0), (14, 1, 0), (15, 1, 0),
+        |(16, 1, 0), (17, 1, 0), (18, 1, 0), (19, 1, 0), (20, 1, 0), (21, 1, 0), (22, 1, 0), (23, 1, 0),
+        |(0, 2, 0), (1, 2, 0), (2, 2, 0), (3, 2, 0), (4, 2, 0), (5, 2, 0), (6, 2, 0), (7, 2, 0),
+        |(8, 2, 0), (9, 2, 0), (10, 2, 0), (11, 2, 0), (12, 2, 0), (13, 2, 0), (14, 2, 0), (15, 2, 0),
+        |(16, 2, 0), (17, 2, 0), (18, 2, 0), (19, 2, 0), (20, 2, 0), (21, 2, 0), (22, 2, 0), (23, 2, 0),
+        |(0, 3, 0), (1, 3, 0), (2, 3, 0), (3, 3, 0), (4, 3, 0), (5, 3, 0), (6, 3, 0), (7, 3, 0),
+        |(8, 3, 0), (9, 3, 0), (10, 3, 0), (11, 3, 0), (12, 3, 0), (13, 3, 0), (14, 3, 0), (15, 3, 0),
+        |(16, 3, 0), (17, 3, 0), (18, 3, 0), (19, 3, 0), (20, 3, 0), (21, 3, 0), (22, 3, 0), (23, 3, 0),
+        |(0, 4, 0), (1, 4, 0), (2, 4, 0), (3, 4, 0), (4, 4, 0), (5, 4, 0), (6, 4, 0), (7, 4, 0),
+        |(8, 4, 0), (9, 4, 0), (10, 4, 0), (11, 4, 0), (12, 4, 0), (13, 4, 0), (14, 4, 0), (15, 4, 0),
+        |(16, 4, 0), (17, 4, 0), (18, 4, 0), (19, 4, 0), (20, 4, 0), (21, 4, 0), (22, 4, 0), (23, 4, 0),
+        |(0, 5, 0), (1, 5, 0), (2, 5, 0), (3, 5, 0), (4, 5, 0), (5, 5, 0), (6, 5, 77), (7, 5, 84),
+        |(8, 5, 91), (9, 5, 98), (10, 5, 65), (11, 5, 72), (12, 5, 79), (13, 5, 86), (14, 5, 93), (15, 5, 60),
+        |(16, 5, 67), (17, 5, 74), (18, 5, 0), (19, 5, 0), (20, 5, 0), (21, 5, 0), (22, 5, 0), (23, 5, 0),
+        |(0, 6, 0), (1, 6, 0), (2, 6, 0), (3, 6, 0), (4, 6, 0), (5, 6, 0), (6, 6, 88), (7, 6, 95),
+        |(8, 6, 62), (9, 6, 69), (10, 6, 76), (11, 6, 83), (12, 6, 90), (13, 6, 97), (14, 6, 64), (15, 6, 71),
+        |(16, 6, 78), (17, 6, 85), (18, 6, 0), (19, 6, 0), (20, 6, 0), (21, 6, 0), (22, 6, 0), (23, 6, 0),
+        |(0, 7, 0), (1, 7, 0), (2, 7, 0), (3, 7, 0), (4, 7, 0), (5, 7, 0), (6, 7, 99), (7, 7, 66),
+        |(8, 7, 73), (9, 7, 80), (10, 7, 87), (11, 7, 94), (12, 7, 61), (13, 7, 68), (14, 7, 75), (15, 7, 82),
+        |(16, 7, 89), (17, 7, 96), (18, 7, 0), (19, 7, 0), (20, 7, 0), (21, 7, 0), (22, 7, 0), (23, 7, 0),
+        |(0, 8, 0), (1, 8, 0), (2, 8, 0), (3, 8, 0), (4, 8, 0), (5, 8, 0), (6, 8, 70), (7, 8, 77),
+        |(8, 8, 84), (9, 8, 91), (10, 8, 3), (11, 8, 3), (12, 8, 72), (13, 8, 79), (14, 8, 86), (15, 8, 93),
+        |(16, 8, 60), (17, 8, 67), (18, 8, 0), (19, 8, 0), (20, 8, 0), (21, 8, 0), (22, 8, 0), (23, 8, 0),
+        |(0, 9, 0), (1, 9, 0), (2, 9, 0), (3, 9, 0), (4, 9, 0), (5, 9, 0), (6, 9, 81), (7, 9, 88),
+        |(8, 9, 95), (9, 9, 62), (10, 9, 69), (11, 9, 76), (12, 9, 83), (13, 9, 90), (14, 9, 97), (15, 9, 64),
+        |(16, 9, 71), (17, 9, 78), (18, 9, 0), (19, 9, 0), (20, 9, 0), (21, 9, 0), (22, 9, 0), (23, 9, 0),
+        |(0, 10, 0), (1, 10, 0), (2, 10, 0), (3, 10, 0), (4, 10, 0), (5, 10, 0), (6, 10, 92), (7, 10, 99),
+        |(8, 10, 66), (9, 10, 73), (10, 10, 80), (11, 10, 87), (12, 10, 94), (13, 10, 61), (14, 10, 68), (15, 10, 75),
+        |(16, 10, 82), (17, 10, 89), (18, 10, 0), (19, 10, 0), (20, 10, 0), (21, 10, 0), (22, 10, 0), (23, 10, 0),
+        |(0, 11, 0), (1, 11, 0), (2, 11, 0), (3, 11, 0), (4, 11, 0), (5, 11, 0), (6, 11, 0), (7, 11, 0),
+        |(8, 11, 0), (9, 11, 0), (10, 11, 0), (11, 11, 0), (12, 11, 0), (13, 11, 0), (14, 11, 0), (15, 11, 0),
+        |(16, 11, 0), (17, 11, 0), (18, 11, 0), (19, 11, 0), (20, 11, 0), (21, 11, 0), (22, 11, 0), (23, 11, 0),
+        |(0, 12, 0), (1, 12, 0), (2, 12, 0), (3, 12, 0), (4, 12, 0), (5, 12, 0), (6, 12, 0), (7, 12, 0),
+        |(8, 12, 0), (9, 12, 0), (10, 12, 0), (11, 12, 0), (12, 12, 0), (13, 12, 0), (14, 12, 0), (15, 12, 0),
+        |(16, 12, 0), (17, 12, 0), (18, 12, 0), (19, 12, 0), (20, 12, 0), (21, 12, 0), (22, 12, 0), (23, 12, 0),
+        |(0, 13, 0), (1, 13, 0), (2, 13, 0), (3, 13, 0), (4, 13, 0), (5, 13, 0), (6, 13, 0), (7, 13, 0),
+        |(8, 13, 0), (9, 13, 0), (10, 13, 0), (11, 13, 0), (12, 13, 0), (13, 13, 0), (14, 13, 0), (15, 13, 0),
+        |(16, 13, 0), (17, 13, 0), (18, 13, 0), (19, 13, 0), (20, 13, 0), (21, 13, 0), (22, 13, 0), (23, 13, 0),
+        |(0, 14, 0), (1, 14, 0), (2, 14, 0), (3, 14, 0), (4, 14, 0), (5, 14, 0), (6, 14, 0), (7, 14, 0),
+        |(8, 14, 0), (9, 14, 0), (10, 14, 0), (11, 14, 0), (12, 14, 0), (13, 14, 0), (14, 14, 0), (15, 14, 0),
+        |(16, 14, 0), (17, 14, 0), (18, 14, 0), (19, 14, 0), (20, 14, 0), (21, 14, 0), (22, 14, 0), (23, 14, 0),
+        |(0, 15, 0), (1, 15, 0), (2, 15, 0), (3, 15, 0), (4, 15, 0), (5, 15, 0), (6, 15, 0), (7, 15, 0),
+        |(8, 15, 0), (9, 15, 0), (10, 15, 0), (11, 15, 0), (12, 15, 0), (13, 15, 0), (14, 15, 0), (15, 15, 0),
+        |(16, 15, 0), (17, 15, 0), (18, 15, 0), (19, 15, 0), (20, 15, 0), (21, 15, 0), (22, 15, 0), (23, 15, 0)) AS t(x, y, v)""".stripMargin,
     "q_warp_cutline" ->
       // identity warp of the (x*31+y*17)%23 grid, then: hard diamond
       // center-rule mask; rect feather (density 0.5±dist/3 over ±1.5 px,
