@@ -833,6 +833,33 @@ object SparkEntry {
             yield (x, st.yOff + y, st.bands(0)(y * w + x))
         }.toDF("x", "y", "v")
     }),
+    "q_rat" -> ((s, d) => {
+      import s.implicits._
+      // raster attribute table (gdal_rat.cpp): histogram RAT built by one
+      // distributed groupBy, then pixels classified through a RAT column
+      // (XML round-tripped in between, exercising the PAM serialization)
+      val w = 18; val h = 12
+      def srcV(x: Int, y: Int): Int = (x * 3 + y * 5) % 7
+      def strips = (0 until h by 4).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(4, h - y0)
+        graft.raster.Overview.IStrip(idx, y0, hh, w,
+          Array.tabulate(hh * w)(i => srcV(i % w, y0 + i / w)))
+      }.toDS()
+      val rat0 = graft.raster.Rat.fromRasterHistogram(s, strips)
+      val rat = graft.raster.Rat.fromXml(rat0.toXml) // PAM round trip
+      val hist = rat.rows.map(r => ("hist", r(0).toInt, 0, r(1).toLong))
+      // classification table: VALUE -> CLASS = value*10 + 1
+      val cls = graft.raster.Rat.Table(
+        Vector(graft.raster.Rat.Field("VALUE", graft.raster.Rat.GFT_Integer, graft.raster.Rat.GFU_MinMax),
+               graft.raster.Rat.Field("CLASS", graft.raster.Rat.GFT_Integer, graft.raster.Rat.GFU_Generic)),
+        (0 until 7).map(v => Vector(v.toString, (v * 10 + 1).toString)).toVector)
+      val classified = graft.raster.Rat.classify(s, strips, cls, "CLASS")
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until w)
+            yield ("classify", x, st.yOff + y, st.vals(y * w + x).toLong) }
+        .collect().toSeq
+      (hist ++ classified).toDF("test_case", "a", "b", "c")
+    }),
     "q_histogram" -> ((s, d) => {
       // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
       // equal-width buckets over [min, max]; here 8 buckets over lineitem
@@ -1616,6 +1643,18 @@ object SparkEntry {
         |    CAST(((2*x) * 31 + (2*y+1) * 17) % 23 AS DOUBLE) +
         |    CAST(((2*x+1) * 31 + (2*y+1) * 17) % 23 AS DOUBLE)) / 4, 6) AS v_r
         |FROM d""".stripMargin,
+    "q_rat" ->
+      """WITH g AS (
+        |  SELECT xx.x, yy.y, (xx.x*3 + yy.y*5) % 7 AS v
+        |  FROM (SELECT unnest(generate_series(0, 17)) AS x) xx,
+        |       (SELECT unnest(generate_series(0, 11)) AS y) yy),
+        |hist AS (
+        |  SELECT 'hist' AS test_case, v AS a, 0 AS b, count(*) AS c
+        |  FROM g GROUP BY v),
+        |cls AS (
+        |  SELECT 'classify' AS test_case, x AS a, y AS b,
+        |         CAST(v*10 + 1 AS BIGINT) AS c FROM g)
+        |SELECT * FROM hist UNION ALL SELECT * FROM cls""".stripMargin,
     "q_nearblack" ->
       // pinned from tools/gen_nearblack_oracle.py (independent Python port)
       """SELECT * FROM (VALUES
