@@ -176,15 +176,16 @@ object BoundaryMerge extends Serializable {
           out.result().iterator
         }
       }
-    val pairsPersisted = pairsDs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nPairs = pairsPersisted.count()
-
     // session-conf override (cluster tuning / test forcing)
     val limit = spark.conf.get(DriverPairLimitKey, driverPairLimit.toString).toLong
-    if (nPairs <= limit) {
+    // take(limit+1) keeps the common case at ONE job (no persist/count
+    // pre-pass); only the over-limit case pays a recompute of the pair
+    // lineage (whose `summaries` input the callers persist)
+    val takeCap = math.min(limit + 1, Int.MaxValue.toLong - 8).toInt
+    val taken = pairsDs.take(takeCap)
+    if (taken.length <= limit) {
       // ---- driver mode: collect pairs, union-find in memory ----
-      val pairs = pairsPersisted.collect()
-      pairsPersisted.unpersist(false)
+      val pairs = taken
       lastDriverPairs = pairs.length.toLong
 
       val parent = new scala.collection.mutable.HashMap[Long, Long]
@@ -215,13 +216,12 @@ object BoundaryMerge extends Serializable {
         }
         Side(s.stripIdx + 1, s.botVals, g, null, null)
       }
-      Merged(base, roots, side, nPairs, distributed = false)
+      Merged(base, roots, side, pairs.length.toLong, distributed = false)
     } else {
-      // ---- distributed mode: union-find as a Spark job; the driver sees
-      // only the pair COUNT. Roots reach consumers as per-strip Side rows.
+      // ---- distributed mode: union-find as a Spark job; the driver never
+      // materializes pairs. Roots reach consumers as per-strip Side rows.
       lastDriverPairs = 0L
-      val rootsDF = graft.operators.UnionFind.roots(pairsPersisted.toDF("a", "b"))
-      pairsPersisted.unpersist(false)
+      val rootsDF = graft.operators.UnionFind.roots(pairsDs.toDF("a", "b"))
       val rootRows: Dataset[Side] = rootsDF.as[(Long, Long)]
         .groupByKey { case (gid, _) => ownerStrip(baseB.value, gid) }
         .mapGroups { (k, it) =>
@@ -247,7 +247,9 @@ object BoundaryMerge extends Serializable {
             Side(s.stripIdx + 1, s.botVals, g, null, null)
           }
         }
-      Merged(base, Map.empty, haloRows.union(rootRows), nPairs, distributed = true)
+      // exact pair count is not re-derived in distributed mode (it would
+      // cost another scan); -1 = "over the driver limit"
+      Merged(base, Map.empty, haloRows.union(rootRows), -1L, distributed = true)
     }
   }
 }

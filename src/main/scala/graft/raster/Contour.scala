@@ -258,10 +258,14 @@ object Contour extends Serializable {
       Seq((c.xy(0), c.xy(1)), (c.xy(2 * (n - 1)), c.xy(2 * (n - 1) + 1)))
         .filter { case (_, ey) => ey == math.floor(ey) + 0.5 } // on a row seam
         .map { case (ex, ey) => (c.level, c.stripIdx, c.localIdx, ex, ey) }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBoundary = boundaryDs.count()
+    }
     val limit = spark.conf.get(BoundaryMerge.DriverPairLimitKey,
       BoundaryMerge.DefaultDriverPairLimit.toString).toLong
+    // take(limit+1) keeps the common case at one job; the over-limit case
+    // recomputes from `chains`, which is checkpointed above
+    val takeCap = math.min(limit + 1, Int.MaxValue.toLong - 8).toInt
+    val taken = boundaryDs.take(takeCap)
+    val nBoundary = taken.length.toLong
     val gtB = spark.sparkContext.broadcast(gt)
 
     def mergeGroup(level: Double, it: Iterator[StripChain]): Iterator[(Double, Array[Byte])] = {
@@ -280,9 +284,8 @@ object Contour extends Serializable {
 
     val out =
       if (nBoundary <= limit) {
-        // ---- driver mode: collect endpoints, union-find in memory ----
-        val boundary = boundaryDs.collect()
-        boundaryDs.unpersist(false)
+        // ---- driver mode: endpoints already taken, union-find in memory --
+        val boundary = taken
         val parent = mutable.HashMap[(Double, Int, Int), (Double, Int, Int)]()
         def find(x: (Double, Int, Int)): (Double, Int, Int) = {
           var r = x
