@@ -21,6 +21,15 @@ import org.apache.spark.sql.Dataset
   * Rule of thumb: leave it off for interactive/short jobs; turn it on for
   * anything whose re-run cost exceeds the checkpoint-write cost (long
   * multi-stage pipelines on preemptible nodes).
+  *
+  * STORAGE NOTE (reliable mode): Spark never deletes reliable checkpoint
+  * files on unpersist — each iteration of a Ckpt'd loop (sieve pointer
+  * doubling, knn rounds, union-find rounds) leaves one working-set copy in
+  * the checkpoint dir until the application exits. Launch with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (must be set
+  * BEFORE the context starts) to let the ContextCleaner reap checkpoints
+  * of GC'd datasets, and point `spark.graft.checkpoint.dir` at a location
+  * with lifecycle rules / periodic cleanup either way.
   */
 object Ckpt {
   val ReliableKey = "spark.graft.checkpoint.reliable"

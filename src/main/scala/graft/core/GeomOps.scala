@@ -390,11 +390,15 @@ object GeomOps {
     case (p1: GPolygon, p2: GPolygon) =>
       p1.envelope.containsEnv(p2.envelope) &&
         p2.rings.headOption.forall(r => contains(p1, GLine(r.xy))) &&
-        // a hole of p1 lying strictly inside p2's interior never crosses
-        // p2's exterior ring, so the line test above cannot see it; any
-        // such hole VERTEX OR EDGE MIDPOINT strictly inside p2 disproves
-        // containment (vertices alone miss a hole whose vertices all sit
-        // on p2's boundary while its edges dip through p2's interior)
+        // a hole of p1 overlapping p2's interior disproves containment.
+        // Three detectors, cheapest first: (a) a hole VERTEX strictly
+        // inside p2; (b) a hole EDGE MIDPOINT strictly inside p2 (vertices
+        // alone miss a hole whose vertices all sit on p2's boundary while
+        // its edges dip through the interior); (c) a PROPER edge crossing
+        // between the hole ring and any p2 ring (midpoints alone miss an
+        // edge whose endpoints AND midpoint are outside p2 but whose
+        // middle passes through — proper crossings exclude mere boundary
+        // grazes, which do not break containment)
         !p1.rings.drop(1).exists { h =>
           val n = h.xy.length / 2
           var i = 0
@@ -410,7 +414,10 @@ object GeomOps {
               bad = true
             i += 1
           }
-          bad
+          bad || {
+            val hl = GLine(h.xy)
+            p2.rings.exists(r => properCrossing(GLine(r.xy), hl))
+          }
         }
     case (a1, m: GMulti) => m.geoms.forall(contains(a1, _))
     case (m: GMulti, b1) => m.geoms.exists(contains(_, b1))

@@ -58,7 +58,17 @@ object UnionFind {
       p = p2
       round += 1
     }
-    p.filter(col("p") =!= col("v")).select(col("v").as("gid"), col("p").as("root"))
+    // materialize the (much smaller) root set, then drop the symmetrized
+    // edge set and the final label round — this path exists for edge sets
+    // too big for a driver, so leaving them cached would pin ~2× the input
+    // in executor storage for the rest of the session. Callers should
+    // unpersist the returned frame when done with it.
+    val out = p.filter(col("p") =!= col("v"))
+      .select(col("v").as("gid"), col("p").as("root"))
+      .ckpt()
+    p.unpersist(false)
+    symBoth.unpersist(false)
+    out
   }
 
   /** Exact label sum (decimal(38,0) — labels only decrease, so a stalled

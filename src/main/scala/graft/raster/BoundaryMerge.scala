@@ -180,10 +180,12 @@ object BoundaryMerge extends Serializable {
     val limit = spark.conf.get(DriverPairLimitKey, driverPairLimit.toString).toLong
     // take(limit+1) keeps the common case at ONE job (no persist/count
     // pre-pass); only the over-limit case pays a recompute of the pair
-    // lineage (whose `summaries` input the callers persist)
-    val takeCap = math.min(limit + 1, Int.MaxValue.toLong - 8).toInt
+    // lineage (whose `summaries` input the callers persist). Clamp BEFORE
+    // the +1 (a Long.MaxValue limit must not overflow), and treat a
+    // take() that filled the cap as potentially truncated → distributed.
+    val takeCap = (math.min(math.max(limit, 0L), Int.MaxValue.toLong - 9L) + 1L).toInt
     val taken = pairsDs.take(takeCap)
-    if (taken.length <= limit) {
+    if (taken.length < takeCap) {
       // ---- driver mode: collect pairs, union-find in memory ----
       val pairs = taken
       lastDriverPairs = pairs.length.toLong
@@ -229,6 +231,7 @@ object BoundaryMerge extends Serializable {
           it.foreach { case (g, r) => gs += g; rs += r }
           Side(k, null, null, gs.result(), rs.result())
         }.ckpt() // consumed twice: halo resolution below + the side union
+      rootsDF.unpersist(false) // rolled into rootRows; drop the UnionFind cache
 
       val haloRows: Dataset[Side] = summaries.groupByKey(_.stripIdx)
         .cogroup(rootRows.groupByKey(_.stripIdx)) { (_, sIt, rIt) =>

@@ -262,10 +262,11 @@ object Contour extends Serializable {
     val limit = spark.conf.get(BoundaryMerge.DriverPairLimitKey,
       BoundaryMerge.DefaultDriverPairLimit.toString).toLong
     // take(limit+1) keeps the common case at one job; the over-limit case
-    // recomputes from `chains`, which is checkpointed above
-    val takeCap = math.min(limit + 1, Int.MaxValue.toLong - 8).toInt
+    // recomputes from `chains`, which is checkpointed above. Clamp before
+    // the +1 (Long.MaxValue limit must not overflow); a take() that filled
+    // the cap may be truncated → distributed.
+    val takeCap = (math.min(math.max(limit, 0L), Int.MaxValue.toLong - 9L) + 1L).toInt
     val taken = boundaryDs.take(takeCap)
-    val nBoundary = taken.length.toLong
     val gtB = spark.sparkContext.broadcast(gt)
 
     def mergeGroup(level: Double, it: Iterator[StripChain]): Iterator[(Double, Array[Byte])] = {
@@ -283,7 +284,7 @@ object Contour extends Serializable {
     }
 
     val out =
-      if (nBoundary <= limit) {
+      if (taken.length < takeCap) {
         // ---- driver mode: endpoints already taken, union-find in memory --
         val boundary = taken
         val parent = mutable.HashMap[(Double, Int, Int), (Double, Int, Int)]()

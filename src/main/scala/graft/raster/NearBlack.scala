@@ -141,15 +141,17 @@ object NearBlack extends Serializable {
   /** Distributed nearblack over strips (both passes). */
   def apply(spark: SparkSession, strips: Dataset[NBStrip], w: Int, h: Int,
             opts: Opts = Opts()): Dataset[NBStrip] = {
-    val afterDown = pass(spark, strips, w, opts, bottomUp = false)
-    pass(spark, afterDown, w, opts, bottomUp = true)
+    import spark.implicits._
+    val nStrips = strips.map(_.stripIdx).reduce(math.max) + 1
+    val afterDown = pass(spark, strips, w, nStrips, opts, bottomUp = false)
+    pass(spark, afterDown, w, nStrips, opts, bottomUp = true)
   }
 
   /** One pass: per-column clamped prefix sums of non-collar counts feed an
     * exact per-strip replay.
     */
   private def pass(spark: SparkSession, stripsIn: Dataset[NBStrip], w: Int,
-                   opts: Opts, bottomUp: Boolean): Dataset[NBStrip] = {
+                   nStrips: Int, opts: Opts, bottomUp: Boolean): Dataset[NBStrip] = {
     import spark.implicits._
     val strips = stripsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val optsV = opts
@@ -174,20 +176,25 @@ object NearBlack extends Serializable {
       (0 until w).iterator.filter(f(_) > 0).map(c => (c, s.stripIdx, f(c)))
     }
 
-    // per-column clamped prefix sum in pass order → counts ENTERING each strip
+    // per-column clamped prefix sum in pass order → counts ENTERING each
+    // strip. Walk EVERY strip index in pass order (not just strips with a
+    // nonzero contribution in this column): once a column has accumulated
+    // count it must reach all later strips, including those whose own
+    // pixels are all collar-valued — the reference's counts never reset.
+    val nStripsV = nStrips
     val incoming = sums.groupByKey(_._1).flatMapGroups { (c, it) =>
-      val byStrip = it.map(t => (t._2, t._3)).toArray
-        .sortBy(t => if (bu) -t._1 else t._1)
+      val fByStrip = it.map(t => (t._2, t._3)).toMap
+      val order = if (bu) (nStripsV - 1) to 0 by -1 else 0 until nStripsV
       var acc = 0
       val out = Vector.newBuilder[(Int, Int, Int)] // (stripIdx, col, incoming)
-      byStrip.iterator.foreach { case (st, f) =>
+      order.foreach { st =>
         if (acc > 0) out += ((st, c, acc))
-        acc = math.min(cap, acc + f)
+        acc = math.min(cap, acc + fByStrip.getOrElse(st, 0))
       }
       out.result().iterator
     }
 
-    strips.groupByKey(_.stripIdx)
+    val res = strips.groupByKey(_.stripIdx)
       .cogroup(incoming.groupByKey(_._1)) { (_, sIt, cIt) =>
         val counts = new Array[Int](w)
         cIt.foreach { case (_, col, v) => counts(col) = v }
@@ -198,5 +205,10 @@ object NearBlack extends Serializable {
           NBStrip(s.stripIdx, s.yOff, s.height, bands)
         }
       }
+    // materialize, then release the pass-input cache (two full raster
+    // copies would otherwise stay pinned per apply() call)
+    val out = graft.core.Ckpt(res)
+    strips.unpersist(false)
+    out
   }
 }

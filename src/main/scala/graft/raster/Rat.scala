@@ -67,7 +67,11 @@ object Rat extends Serializable {
       sb ++= "<GDALRasterAttributeTable"
       (row0Min, binSize) match {
         case (Some(r0), Some(bs)) =>
-          sb ++= f""" Row0Min="$r0%.16g" BinSize="$bs%.16g""""
+          // Locale.ROOT: comma-decimal default locales would break the
+          // round trip (and GDAL interop) via %.16g
+          sb ++= String.format(java.util.Locale.ROOT,
+            " Row0Min=\"%.16g\" BinSize=\"%.16g\"",
+            Double.box(r0), Double.box(bs))
         case _ => ()
       }
       sb ++= ">\n"
@@ -120,10 +124,11 @@ object Rat extends Serializable {
       m.iterator
     }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
       .map { case (v, n) => (v, n) }
-    val n = counts.count()
-    require(n <= maxRows,
-      s"RAT would have $n rows (> $maxRows) — thematic RATs are per-value tables; bin first")
-    val rows = counts.collect().sortBy(_._1)
+    // one job: take(maxRows+1) both enforces the guard and fetches the rows
+    val taken = counts.take(maxRows + 1)
+    require(taken.length <= maxRows,
+      s"RAT would have > $maxRows rows — thematic RATs are per-value tables; bin first")
+    val rows = taken.sortBy(_._1)
       .map { case (v, c) => Vector(v.toString, c.toString) }.toVector
     Table(Vector(Field("VALUE", GFT_Integer, GFU_MinMax),
       Field("COUNT", GFT_Integer, GFU_PixelCount)), rows)

@@ -125,5 +125,13 @@ class CoreEdgeSpec extends AnyFunSuite {
       ring((-5, -5), (15, -5), (15, 15), (-5, 15), (-5, -5)),
       ring((-4, -4), (-4, -1), (-1, -1), (-1, -4), (-4, -4))))
     assert(GeomOps.contains(awayHole, p2))
+    // a hole whose vertices AND edge midpoints are all outside p2 but
+    // whose long edge passes straight through p2's interior — only the
+    // proper-crossing detector sees it
+    val throughHole = GPolygon(Array(
+      ring((-40, -40), (40, -40), (40, 40), (-40, 40), (-40, -40)),
+      ring((-30, 5), (30, 5), (30, 6), (-30, 6), (-30, 5))))
+    assert(!GeomOps.contains(throughHole, p2),
+      "hole edge passing through p2's interior must disprove containment")
   }
 }

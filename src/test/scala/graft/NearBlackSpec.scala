@@ -61,6 +61,47 @@ class NearBlackSpec extends AnyFunSuite {
     assert(out(0)(6 * W + 15) !== 0)  // third survives
   }
 
+  test("accumulated counts reach strips whose own column is all-collar") {
+    // regression: a column saturated in earlier strips must carry its
+    // count into a later strip with ZERO non-collar pixels in that column
+    // — otherwise the replay wrongly smashes shielded interior pixels.
+    // 9×9, strips of 3: top/bottom strips all bright; middle strip has a
+    // 3×3 collar-valued block flanked by bright shields on both sides.
+    val w9 = 9; val h9 = 9
+    val vals = Array.tabulate(w9 * h9) { i =>
+      val x = i % w9; val y = i / w9
+      if (y >= 3 && y < 6 && x >= 3 && x < 6) 5 else 100
+    }
+    val opts = Opts(nearDist = 15, maxNonBlack = 2)
+    val expect = NearBlack.local(Array(vals), w9, h9, opts)
+    // the shielded 3×3 block must SURVIVE in the serial truth
+    assert(expect(0)(4 * w9 + 4) === 5, "fixture must shield the block")
+    val strips = (0 until h9 by 3).zipWithIndex.map { case (y0, idx) =>
+      NBStrip(idx, y0, 3, Array(java.util.Arrays.copyOfRange(vals, y0 * w9, (y0 + 3) * w9)))
+    }.toDS()
+    val got = NearBlack(spark, strips, w9, h9, opts)
+      .collect().sortBy(_.yOff).flatMap(_.bands(0))
+    assert(got.toSeq === expect(0).toSeq)
+  }
+
+  test("fuzz: random fixtures match the serial port (24 seeds × layouts)") {
+    def rnd(seed: Long, k: Int): Int =
+      ((graft.sources.Pages.mix(seed * 2654435761L + k) >>> 17) & 0x1f).toInt // 0..31
+    val w = 13; val h = 11
+    for (seed <- 1 to 24; stripH <- Seq(2, 4)) {
+      val vals = Array.tabulate(w * h)(i => rnd(seed, i))
+      val opts = Opts(nearDist = 15, maxNonBlack = seed % 3)
+      val expect = NearBlack.local(Array(vals), w, h, opts)
+      val strips = (0 until h by stripH).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(stripH, h - y0)
+        NBStrip(idx, y0, hh, Array(java.util.Arrays.copyOfRange(vals, y0 * w, (y0 + hh) * w)))
+      }.toDS()
+      val got = NearBlack(spark, strips, w, h, opts)
+        .collect().sortBy(_.yOff).flatMap(_.bands(0))
+      assert(got.toSeq === expect(0).toSeq, s"seed=$seed stripH=$stripH")
+    }
+  }
+
   test("near-white smashes to 255") {
     val w = 12; val h = 8
     val bands = Array(Array.tabulate(w * h) { i =>
