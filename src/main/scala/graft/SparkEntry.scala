@@ -860,6 +860,31 @@ object SparkEntry {
         .collect().toSeq
       (hist ++ classified).toDF("test_case", "a", "b", "c")
     }),
+    "q_mosaic" -> ((s, d) => {
+      import s.implicits._
+      // gdalwarp multi-source mosaic: base grid A, overlapping grid B
+      // warped in order — B overwrites where valid, its srcNoData (5)
+      // pixels stay transparent so A shows through (hole-filling)
+      def stripsOf(w: Int, h: Int, f: (Int, Int) => Double) =
+        (0 until h by 3).zipWithIndex.map { case (y0, idx) =>
+          val hh = math.min(3, h - y0)
+          graft.raster.Dem.DStrip(idx, y0, hh,
+            Array.tabulate(hh * w)(i => f(i % w, y0 + i / w)))
+        }.toDS()
+      val a = graft.raster.Mosaic.Source(
+        stripsOf(12, 10, (x, y) => ((x * 31 + y * 17) % 23).toDouble), 12, 10,
+        graft.core.GeoTransform.northUp(0, 10, 1, 1))
+      val b = graft.raster.Mosaic.Source(
+        stripsOf(8, 6, (x, y) => ((x * 7 + y * 5) % 9).toDouble), 8, 6,
+        graft.core.GeoTransform.northUp(6, 8, 1, 1), srcNoData = Some(5.0))
+      val dst = graft.raster.Warp.DstSpec(16, 12,
+        graft.core.GeoTransform.northUp(0, 12, 1, 1), stripHeight = 4)
+      graft.raster.Mosaic(s, Seq(a, b), dst, noData = -1.0)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until 16)
+            yield (x, st.yOff + y, st.vals(y * 16 + x))
+        }.toDF("x", "y", "v")
+    }),
     "q_histogram" -> ((s, d) => {
       // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
       // equal-width buckets over [min, max]; here 8 buckets over lineitem
@@ -1642,6 +1667,21 @@ object SparkEntry {
         |    CAST(((2*x+1) * 31 + (2*y) * 17) % 23 AS DOUBLE) +
         |    CAST(((2*x) * 31 + (2*y+1) * 17) % 23 AS DOUBLE) +
         |    CAST(((2*x+1) * 31 + (2*y+1) * 17) % 23 AS DOUBLE)) / 4, 6) AS v_r
+        |FROM d""".stripMargin,
+    "q_mosaic" ->
+      // dst (16x12, northUp(0,12,1,1)); A covers x 0..11 / y 2..11 with
+      // (x*31+(y-2)*17)%23; B covers x 6..13 / y 4..9 with
+      // ((x-6)*7+(y-4)*5)%9, transparent where that value = 5
+      """WITH d AS (
+        |  SELECT xx.x, yy.y FROM (SELECT unnest(generate_series(0, 15)) AS x) xx,
+        |                         (SELECT unnest(generate_series(0, 11)) AS y) yy)
+        |SELECT x, y,
+        |  CASE WHEN x BETWEEN 6 AND 13 AND y BETWEEN 4 AND 9
+        |            AND ((x-6)*7 + (y-4)*5) % 9 <> 5
+        |       THEN CAST(((x-6)*7 + (y-4)*5) % 9 AS DOUBLE)
+        |       WHEN x BETWEEN 0 AND 11 AND y BETWEEN 2 AND 11
+        |       THEN CAST((x*31 + (y-2)*17) % 23 AS DOUBLE)
+        |       ELSE -1.0 END AS v
         |FROM d""".stripMargin,
     "q_rat" ->
       """WITH g AS (
