@@ -198,6 +198,54 @@ object Smoke {
       graft.index.CellGrid.parent(graft.index.CellGrid.cellId(2.35, 48.85, 8)),
       "cell_parent SQL")
 
+    // round-5 raster surface: cutline, GCP/TPS warp, nearblack, RAT, mosaic
+    println("== round-5 raster surface ==")
+    locally {
+      import graft.raster._
+      import graft.core.{GLine, GPolygon, GeoTransform}
+      val gt5 = GeoTransform.northUp(0, 8, 1, 1)
+      val srcStrips = (0 until 8 by 3).zipWithIndex.map { case (y0, i) =>
+        val hh = math.min(3, 8 - y0)
+        Dem.DStrip(i, y0, hh, Array.tabulate(hh * 10)(k => ((k % 10) + (y0 + k / 10)).toDouble))
+      }.toDS()
+      // cutline hard clip
+      val poly = GPolygon(Array(GLine(Array(2.2, 1.8, 7.3, 1.8, 7.3, 6.1, 2.2, 6.1, 2.2, 1.8))))
+      val dst5 = Warp.DstSpec(10, 8, gt5, stripHeight = 3)
+      val cut = Cutline(Warp.warp(spark, srcStrips, 10, 8, gt5, dst5, noData = -1.0),
+        dst5, poly, noData = -1.0).collect().flatMap(_.vals)
+      assert(cut.count(_ != -1.0) == 20, s"cutline kept ${cut.count(_ != -1.0)} pixels") // 5x4 centers
+      // GCP order-1 warp round trip
+      val gcps = for (g <- Seq((0, 0), (8, 0), (0, 6), (8, 6), (4, 3)))
+        yield GcpTransform.Gcp(1.0 + g._1 * 1.0, 0.5 + g._2 * 1.0, g._1.toDouble, g._2.toDouble)
+      val (gpx, gpy) = GcpTransform.polyTx(gcps, 1)(4.0, 3.0)
+      assert(math.abs(gpx - 5.0) < 1e-9 && math.abs(gpy - 3.5) < 1e-9, s"GCP tx ($gpx,$gpy)")
+      // nearblack: constant-collar frame removed
+      val nbStrips = (0 until 8 by 3).zipWithIndex.map { case (y0, i) =>
+        val hh = math.min(3, 8 - y0)
+        NearBlack.NBStrip(i, y0, hh, Array(Array.tabulate(hh * 10) { k =>
+          val x = k % 10; val y = y0 + k / 10
+          if (x >= 2 && x < 8 && y >= 2 && y < 6) 120 else 4
+        }))
+      }.toDS()
+      val nb = NearBlack(spark, nbStrips, 10, 8, NearBlack.Opts(nearDist = 10, maxNonBlack = 0))
+        .collect().sortBy(_.yOff).flatMap(_.bands(0))
+      assert(nb.count(_ == 120) == 24 && nb.count(_ == 0) == 56, "nearblack collar")
+      // RAT histogram + XML round trip
+      val ratStrips = (0 until 8 by 3).zipWithIndex.map { case (y0, i) =>
+        val hh = math.min(3, 8 - y0)
+        graft.raster.Overview.IStrip(i, y0, hh, 10, Array.tabulate(hh * 10)(k => k % 4))
+      }.toDS()
+      val rat = Rat.fromXml(Rat.fromRasterHistogram(spark, ratStrips).toXml)
+      val totalCount = (0 until rat.rowCount).map(rat.valueInt(_, 1)).sum
+      assert(rat.rowCount == 4 && totalCount == 80, s"RAT histogram ($totalCount)")
+      // mosaic: second layer wins where valid
+      val m = Mosaic(spark, Seq(
+        Mosaic.Source(srcStrips, 10, 8, gt5),
+        Mosaic.Source(srcStrips.map(s => s.copy(vals = s.vals.map(_ + 100))), 10, 8, gt5)),
+        dst5, noData = -1.0).collect().flatMap(_.vals)
+      assert(m.forall(_ >= 100.0), "mosaic overwrite")
+    }
+
     // flagship pipeline transform on a small page batch
     val pages = graft.sources.Pages.synth(spark, 2000L)
     val zonesG = zones.select($"zone_id", $"geom")
