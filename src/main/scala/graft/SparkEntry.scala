@@ -885,6 +885,40 @@ object SparkEntry {
             yield (x, st.yOff + y, st.vals(y * 16 + x))
         }.toDF("x", "y", "v")
     }),
+    "q_warp_rpc" -> ((s, d) => {
+      import s.implicits._
+      // RPC georeferencing (gdal_rpc.cpp): rational-polynomial sensor
+      // model as the warp pull transform; the oracle recomputes the same
+      // normalized rational closed form in SQL
+      val sw = 12; val sh = 10
+      val vals = Array.tabulate(sw * sh)(i => ((i % sw) * 31 + (i / sw) * 17) % 23 * 1.0)
+      def strips = (0 until sh by 3).zipWithIndex.map { case (y0, idx) =>
+        val hh = math.min(3, sh - y0)
+        graft.raster.Dem.DStrip(idx, y0, hh,
+          java.util.Arrays.copyOfRange(vals, y0 * sw, (y0 + hh) * sw))
+      }.toDS()
+      def coef(pairs: (Int, Double)*): Array[Double] = {
+        val a = new Array[Double](20); pairs.foreach { case (i, v) => a(i) = v }; a
+      }
+      val m = graft.raster.Rpc.Model(
+        lineOff = 5, lineScale = 5, sampOff = 6, sampScale = 6,
+        latOff = 4, latScale = 4, longOff = 4, longScale = 4,
+        heightOff = 0, heightScale = 1,
+        lineNum = coef(0 -> 0.02, 2 -> 0.9, 1 -> 0.03),
+        lineDen = coef(0 -> 1.0, 1 -> 0.005),
+        sampNum = coef(0 -> 0.01, 1 -> 1.0, 2 -> 0.05, 4 -> 0.02),
+        sampDen = coef(0 -> 1.0, 2 -> 0.01))
+      graft.raster.Warp.warp(s, strips, sw, sh,
+          graft.core.GeoTransform(0, 1, 0, 0, 0, 1),
+          graft.raster.Warp.DstSpec(9, 8,
+            graft.core.GeoTransform.northUp(0, 8, 1, 1), stripHeight = 3),
+          tx = graft.raster.Rpc.forwardTx(m),
+          kernel = graft.raster.Warp.Nearest, noData = -1.0)
+        .flatMap { st =>
+          for (y <- 0 until st.height; x <- 0 until 9)
+            yield (x, st.yOff + y, st.vals(y * 9 + x)) }
+        .toDF("x", "y", "v")
+    }),
     "q_histogram" -> ((s, d) => {
       // GetHistogram semantics (gdal/gcore/gdalrasterband.cpp:2683): fixed
       // equal-width buckets over [min, max]; here 8 buckets over lineitem
@@ -1683,6 +1717,25 @@ object SparkEntry {
         |       THEN CAST((x*31 + (y-2)*17) % 23 AS DOUBLE)
         |       ELSE -1.0 END AS v
         |FROM d""".stripMargin,
+    "q_warp_rpc" ->
+      // dst centers (gx,gy)=(x+0.5, 7.5-y); L=(gx-4)/4, P=(gy-4)/4;
+      // px=((0.01+L+0.05P+0.02LP)/(1+0.01P))*6+6.5; py=((0.02+0.9P+0.03L)/
+      // (1+0.005L))*5+5.5; nearest=floor, outside 12x10 -> -1
+      """WITH d AS (
+        |  SELECT xx.x, yy.y,
+        |         (xx.x + 0.5 - 4.0) / 4.0 AS L, (7.5 - yy.y - 4.0) / 4.0 AS P
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS x) xx,
+        |       (SELECT unnest(generate_series(0, 7)) AS y) yy),
+        |m AS (
+        |  SELECT x, y,
+        |    ((0.01 + L + 0.05*P + 0.02*L*P) / (1.0 + 0.01*P)) * 6.0 + 6.5 AS px,
+        |    ((0.02 + 0.9*P + 0.03*L) / (1.0 + 0.005*L)) * 5.0 + 5.5 AS py
+        |  FROM d)
+        |SELECT x, y,
+        |  CASE WHEN floor(px) BETWEEN 0 AND 11 AND floor(py) BETWEEN 0 AND 9
+        |       THEN CAST((CAST(floor(px) AS INT)*31 + CAST(floor(py) AS INT)*17) % 23 AS DOUBLE)
+        |       ELSE -1.0 END AS v
+        |FROM m""".stripMargin,
     "q_rat" ->
       """WITH g AS (
         |  SELECT xx.x, yy.y, (xx.x*3 + yy.y*5) % 7 AS v
