@@ -110,6 +110,14 @@ object BoundaryMerge extends Serializable {
   /** Session-conf key overriding the caller's driverPairLimit. */
   val DriverPairLimitKey = "spark.graft.boundary.driverPairLimit"
 
+  /** Overflow-safe take() cap for a driver-pair limit: clamp BEFORE the
+    * +1 so a Long.MaxValue limit cannot wrap, and keep the result below
+    * Int.MaxValue for take(). A take() that fills this cap may be
+    * truncated — callers must route to the distributed path then.
+    */
+  def takeCapFor(limit: Long): Int =
+    (math.min(math.max(limit, 0L), Int.MaxValue.toLong - 9L) + 1L).toInt
+
   /** Owner strip of a global id: largest k with base(k) ≤ gid. */
   @inline def ownerStrip(base: Array[Long], gid: Long): Int = {
     val pos = java.util.Arrays.binarySearch(base, gid)
@@ -180,10 +188,8 @@ object BoundaryMerge extends Serializable {
     val limit = spark.conf.get(DriverPairLimitKey, driverPairLimit.toString).toLong
     // take(limit+1) keeps the common case at ONE job (no persist/count
     // pre-pass); only the over-limit case pays a recompute of the pair
-    // lineage (whose `summaries` input the callers persist). Clamp BEFORE
-    // the +1 (a Long.MaxValue limit must not overflow), and treat a
-    // take() that filled the cap as potentially truncated → distributed.
-    val takeCap = (math.min(math.max(limit, 0L), Int.MaxValue.toLong - 9L) + 1L).toInt
+    // lineage (whose `summaries` input the callers persist)
+    val takeCap = takeCapFor(limit)
     val taken = pairsDs.take(takeCap)
     if (taken.length < takeCap) {
       // ---- driver mode: collect pairs, union-find in memory ----

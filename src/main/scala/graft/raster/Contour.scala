@@ -262,10 +262,8 @@ object Contour extends Serializable {
     val limit = spark.conf.get(BoundaryMerge.DriverPairLimitKey,
       BoundaryMerge.DefaultDriverPairLimit.toString).toLong
     // take(limit+1) keeps the common case at one job; the over-limit case
-    // recomputes from `chains`, which is checkpointed above. Clamp before
-    // the +1 (Long.MaxValue limit must not overflow); a take() that filled
-    // the cap may be truncated → distributed.
-    val takeCap = (math.min(math.max(limit, 0L), Int.MaxValue.toLong - 9L) + 1L).toInt
+    // recomputes from `chains`, which is checkpointed above
+    val takeCap = BoundaryMerge.takeCapFor(limit)
     val taken = boundaryDs.take(takeCap)
     val gtB = spark.sparkContext.broadcast(gt)
 

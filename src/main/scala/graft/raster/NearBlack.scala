@@ -110,7 +110,7 @@ object NearBlack extends Serializable {
         doTest = true
         nNonBlack = 0
       }
-      i += 1 * dir
+      i += dir
     }
   }
 
