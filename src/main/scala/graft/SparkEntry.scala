@@ -417,6 +417,17 @@ object SparkEntry {
           numHashes = 64, bands = 16, threshold = 0.62, shingle = 5)
         .select(col("id_a"), col("id_b"))
     }),
+    "q_dedup_cluster" -> ((s, d) => {
+      // near-dup clustering: same corpus/thresholds as q_dedup_minhash,
+      // pairs union-found into components, cluster = min doc id
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text"))
+      val all = docs.unionByName(nearDups)
+      Dedup.clusters(all, col("doc_id"), col("text"),
+        numHashes = 64, bands = 16, threshold = 0.62, shingle = 5)
+    }),
     "q_ann_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 3)
@@ -2061,6 +2072,31 @@ object SparkEntry {
         |)
         |SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
         |FROM all_docs GROUP BY text""".stripMargin,
+    "q_dedup_cluster" ->
+      // exact-Jaccard pairs (same bimodal-corpus argument as
+      // q_dedup_minhash) + connected components via a recursive CTE;
+      // cluster = min reachable doc id (self included)
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' x' FROM documents WHERE doc_id % 7 = 0),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(text) - 4), i -> substr(text, CAST(i AS INT), 5)))) AS g
+        |  FROM all_docs WHERE len(text) >= 5),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (
+        |  SELECT ia, ib FROM inter
+        |  JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7),
+        |e AS (SELECT ia AS a, ib AS b FROM j UNION ALL SELECT ib, ia FROM j),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM all_docs
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

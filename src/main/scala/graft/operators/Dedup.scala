@@ -145,6 +145,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Near-duplicate CLUSTERING: minhash candidate pairs → distributed
+    * connected components ([[UnionFind]], min-label) → one row per doc
+    * with `cluster` = the smallest doc id in its near-dup component
+    * (singletons cluster with themselves). The scalable "keep one document
+    * per near-dup cluster" pipeline step is then
+    * `clusters(...).filter($"id" === $"cluster")` — no all-pairs stage,
+    * no driver-side graph at any corpus size.
+    */
+  def clusters(df: DataFrame, id: Column, text: Column,
+               numHashes: Int = 64, bands: Int = 16,
+               threshold: Double = 0.7, shingle: Int = 5): DataFrame = {
+    val pairs = minhashPairs(df, id, text, numHashes, bands, threshold, shingle)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val roots = graft.operators.UnionFind.roots(pairs)
+      .withColumnRenamed("gid", "id")
+    df.select(id.cast("long").as("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
                     n: Int = 3, threshold: Double = 0.8): DataFrame = {

@@ -42,6 +42,20 @@ class CkptSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup clustering: transitive chain collapses to one cluster") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val chain = Seq(
+      (1L, base),
+      (2L, base + " x"),        // ≈ doc 1
+      (3L, base + " x y"),      // ≈ doc 2 (and transitively doc 1)
+      (4L, "completely different text with no shingle overlap whatsoever here"))
+      .toDF("id", "text")
+    val got = graft.operators.Dedup.clusters(chain, col("id"), col("text"),
+        numHashes = 64, bands = 16, threshold = 0.5, shingle = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("reliable mode without a dir fails loudly") {
     // fresh session state: no checkpoint dir configured on the context —
     // SparkContext keeps any dir set by the previous test, so only assert
