@@ -160,9 +160,14 @@ object Dedup {
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val roots = graft.operators.UnionFind.roots(pairs)
       .withColumnRenamed("gid", "id")
-    df.select(id.cast("long").as("id"))
+    // materialize the assignment, then release the union-find cache (its
+    // contract asks callers to unpersist the returned frame)
+    val out = df.select(id.cast("long").as("id"))
       .join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
+      .ckpt()
+    roots.unpersist(false)
+    out
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs. */

@@ -30,9 +30,12 @@ object Mosaic extends Serializable {
     * valid). `noData` is both the fill for uncovered pixels and the
     * validity sentinel between sources — a genuine data value equal to it
     * is treated as transparent, exactly the reference's nodata caveat.
+    * Deliberately NO default: the sentinel decides which pixels of a later
+    * source overwrite, so it must be a value the data cannot take (a
+    * default of 0.0 would silently make every genuine zero transparent).
     */
   def apply(spark: SparkSession, sources: Seq[Source], dst: Warp.DstSpec,
-            kernel: Warp.Kernel = Warp.Nearest, noData: Double = 0.0,
+            kernel: Warp.Kernel = Warp.Nearest, noData: Double,
             approxTol: Double = 0.0): Dataset[DStrip] = {
     import spark.implicits._
     require(sources.nonEmpty, "mosaic: no sources")

@@ -519,7 +519,13 @@ object Warp {
       val y0 = st * dst.stripHeight
       val y1 = math.min(dst.height, y0 + dst.stripHeight) - 1
       var lo = Double.MaxValue; var hi = -Double.MaxValue
-      for (dy <- Seq(y0, (y0 + y1) / 2, y1); dx <- 0 until dst.width by math.max(1, dst.width / 8)) {
+      // 9 sampled rows per strip (not just ends+middle): strongly curved
+      // pull transforms (RPC cubic line terms, TPS) can take their src-row
+      // extremes at interior rows of a tall strip; under-covering silently
+      // yields noData pixels. Driver cost is a few hundred transform
+      // evaluations per strip — noise.
+      val rowSamples = (0 to 8).map(k => y0 + (y1 - y0).toLong * k / 8).map(_.toInt).distinct
+      for (dy <- rowSamples; dx <- 0 until dst.width by math.max(1, dst.width / 8)) {
         val (_, py) = srcPixelOf(dx, dy, dst.gt, tx, srcInv)
         if (py < lo) lo = py
         if (py > hi) hi = py
