@@ -133,6 +133,13 @@ class BoundaryMergeSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("UnionFind.roots on empty and self-loop-only edges is empty") {
+    assert(graft.operators.UnionFind.roots(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0)
+    assert(graft.operators.UnionFind.roots(
+      Seq((5L, 5L), (9L, 9L)).toDF("a", "b")).count() === 0)
+  }
+
   test("UnionFind.roots resolves a long path in logarithmic rounds") {
     // path 0-1-2-...-299: diameter 299; maxRounds 64 would fail if the
     // pointer doubling were not compounding with propagation
